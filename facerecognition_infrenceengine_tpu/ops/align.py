@@ -37,6 +37,10 @@ def umeyama_similarity(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     Returns [2, 3] matrix M with ``dst ~ M[:, :2] @ src + M[:, 2]``.
     Closed-form Umeyama (1991), reflection-safe via the det sign trick.
     """
+    # Tiny 2x2/5x2 matmuls: force full f32 precision — the TPU's default
+    # bf16 matmul passes jitter the transform by a subpixel, which shows up
+    # as whole-intensity-unit crop differences on high-frequency content.
+    hi = jax.lax.Precision.HIGHEST
     src = src.astype(jnp.float32)
     dst = dst.astype(jnp.float32)
     k = src.shape[0]
@@ -44,15 +48,15 @@ def umeyama_similarity(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     mu_d = dst.mean(axis=0)
     src_c = src - mu_s
     dst_c = dst - mu_d
-    cov = (dst_c.T @ src_c) / k  # [2,2]
+    cov = jnp.matmul(dst_c.T, src_c, precision=hi) / k  # [2,2]
     u, s, vt = jnp.linalg.svd(cov)
     d = jnp.where(jnp.linalg.det(u) * jnp.linalg.det(vt) < 0,
                   jnp.array([1.0, -1.0], jnp.float32),
                   jnp.array([1.0, 1.0], jnp.float32))
-    r = (u * d[None, :]) @ vt
+    r = jnp.matmul(u * d[None, :], vt, precision=hi)
     var_s = (src_c ** 2).sum() / k
     scale = (s * d).sum() / jnp.maximum(var_s, 1e-12)
-    t = mu_d - scale * (r @ mu_s)
+    t = mu_d - scale * jnp.matmul(r, mu_s, precision=hi)
     return jnp.concatenate([scale * r, t[:, None]], axis=1)  # [2,3]
 
 

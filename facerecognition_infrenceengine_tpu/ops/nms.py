@@ -38,28 +38,33 @@ def nms_padded(
     into the *input* order, valid [max_out] bool).
     """
     k = scores.shape[0]
-    order = jnp.argsort(-scores)  # descending
-    boxes_s = boxes[order]
-    scores_s = scores[order]
+    iou = pairwise_iou(boxes, boxes)
 
-    iou = pairwise_iou(boxes_s, boxes_s)
+    # Greedy pick-max-then-suppress: only max_out sequential steps (vs K for
+    # the classic per-candidate loop) — the big win since K >> max_out and
+    # each step is a cheap argmax + one IoU row.
+    def body(_, state):
+        live, picks, pick_scores, n = state
+        i = jnp.argmax(live)
+        s = live[i]
+        ok = s > -jnp.inf
+        row = jax.lax.dynamic_slice(iou, (i, 0), (1, k))[0]
+        suppress = (row > iou_thresh) | (jnp.arange(k) == i)
+        live = jnp.where(ok & suppress, -jnp.inf, live)
+        picks = picks.at[n].set(jnp.where(ok, i, -1))
+        pick_scores = pick_scores.at[n].set(jnp.where(ok, s, -jnp.inf))
+        return live, picks, pick_scores, n + jnp.where(ok, 1, 0)
 
-    def body(i, keep):
-        # Suppress every j > i overlapping a kept i.
-        row = iou[i]
-        suppress = (row > iou_thresh) & keep[i] & (jnp.arange(k) > i)
-        return keep & ~suppress
+    init = (
+        scores,
+        jnp.full(max_out, -1, jnp.int32),
+        jnp.full(max_out, -jnp.inf, scores.dtype),
+        jnp.int32(0),
+    )
+    _, picks, pick_scores, _ = jax.lax.fori_loop(0, max_out, body, init)
 
-    keep0 = scores_s > -jnp.inf
-    keep = jax.lax.fori_loop(0, k, body, keep0)
-
-    # Select first max_out kept entries, preserving score order.
-    kept_scores = jnp.where(keep, scores_s, -jnp.inf)
-    sel_vals, sel_pos = jax.lax.top_k(kept_scores, max_out)
-    out_boxes = boxes_s[sel_pos]
-    out_scores = sel_vals
-    out_idx = order[sel_pos].astype(jnp.int32)
-    valid = sel_vals > -jnp.inf
-    out_boxes = jnp.where(valid[:, None], out_boxes, 0.0)
-    out_scores = jnp.where(valid, out_scores, 0.0)
-    return out_boxes, out_scores, out_idx, valid
+    valid = pick_scores > -jnp.inf
+    safe = jnp.maximum(picks, 0)
+    out_boxes = jnp.where(valid[:, None], boxes[safe], 0.0)
+    out_scores = jnp.where(valid, pick_scores, 0.0)
+    return out_boxes, out_scores, safe.astype(jnp.int32), valid

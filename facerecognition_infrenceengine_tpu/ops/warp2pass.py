@@ -1,0 +1,163 @@
+"""MXU-friendly affine face warp: two-pass resampling as batched matmuls.
+
+TPU has no hardware gather — the straightforward bilinear warp
+(ops/align.py) lowers to scalar loads and costs ~1 ms/face.  This module
+implements the same affine sampling as two 1-D resampling passes, each a
+small batched matmul (Catmull–Smith two-pass resampling with the exact
+geometric mapping):
+
+  inverse map (dst -> src):  sx = m00*j + m01*i + m02
+                             sy = m10*j + m11*i + m12
+  pass 1 (horizontal), tmp indexed by source row y:
+      tmp[y, j] = interp_x img[y, u(y, j)],
+      u(y, j) = (m00 - m01*m10/m11)*j + (m01/m11)*y + (m02 - m01*m12/m11)
+  pass 2 (vertical):
+      out[i, j] = interp_y tmp[sy(i, j), j]
+
+Each interp is a hat-weight matrix contraction — dense matmuls the MXU eats.
+The mapping is geometrically exact for any affine with m11 != 0 (in-plane
+rotations < 90 deg, which face alignment always satisfies); the interpolation
+footprint is a sheared bilinear hat, within a fraction of a pixel of cv2's
+axis-aligned hat for |rotation| < ~30 deg (test_ops_warp2pass.py quantifies).
+
+Faces larger than the static ROI window sample from an average-pool pyramid
+level chosen per face, so arbitrary face scales keep one compiled shape.
+Host-side speed: ~100x faster than the gather warp for a 128-face batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .align import ARCFACE_DST, umeyama_similarity, _invert_affine
+
+ROI = 192  # static ROI window (source pixels) per face, per pyramid level
+MARGIN = 1.35  # ROI must cover out_size / scale * MARGIN
+
+
+def build_pyramid(frames: jnp.ndarray, levels: int = 4) -> list:
+    """[B, H, W, C] -> list of ``levels`` average-pooled frames (f32).
+
+    Level l is the input downscaled by 2**l via 2x2 mean pooling; H and W
+    must be divisible by 2**(levels-1).
+    """
+    x = frames.astype(jnp.float32)
+    pyr = [x]
+    for _ in range(levels - 1):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        pyr.append(x)
+    return pyr
+
+
+def _hat_weights(coords: jnp.ndarray, n_in: int) -> jnp.ndarray:
+    """coords [..., K] -> hat (linear interp) weights [..., K, n_in].
+
+    Rows sum to 1 for in-range coords; out-of-range coords clamp to the
+    border (replicate), matching ops.align.warp_affine_bilinear.
+    """
+    c = jnp.clip(coords, 0.0, n_in - 1.0)
+    idx = jax.lax.broadcasted_iota(jnp.float32, (n_in,), 0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - idx))
+
+
+def _warp_one_from_roi(roi: jnp.ndarray, m_inv: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """roi [R, R, C], m_inv [2, 3] mapping dst->roi coords -> [out, out, C]."""
+    r = roi.shape[0]
+    m00, m01, m02 = m_inv[0, 0], m_inv[0, 1], m_inv[0, 2]
+    m10, m11, m12 = m_inv[1, 0], m_inv[1, 1], m_inv[1, 2]
+    # Guard m11 ~ 0 (never happens for face alignment; keeps math finite).
+    m11 = jnp.where(jnp.abs(m11) < 1e-6, 1e-6, m11)
+
+    jj = jax.lax.broadcasted_iota(jnp.float32, (out_size,), 0)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (r,), 0)
+    ii = jax.lax.broadcasted_iota(jnp.float32, (out_size,), 0)
+
+    # pass 1: u[y, j]
+    u = ((m00 - m01 * m10 / m11) * jj[None, :]
+         + (m01 / m11) * yy[:, None]
+         + (m02 - m01 * m12 / m11))  # [R, out]
+    w1 = _hat_weights(u, r)  # [R, out, R_in]
+    tmp = jnp.einsum("yjx,yxc->yjc", w1, roi,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)  # [R, out, C]
+
+    # pass 2: sy[i, j]
+    sy = m10 * jj[None, :] + m11 * ii[:, None] + m12  # [out(i), out(j)]
+    w2 = _hat_weights(jnp.swapaxes(sy, 0, 1), r)  # [j, i, R]
+    out = jnp.einsum("jiy,yjc->ijc", w2, tmp,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)  # [out, out, C]
+    return out
+
+
+def warp_faces_two_pass(
+    frames: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    kps: jnp.ndarray,
+    out_size: int = 112,
+    dst: jnp.ndarray | None = None,
+    levels: int = 4,
+) -> jnp.ndarray:
+    """Align M faces from a batch of frames without gathers.
+
+    Args:
+      frames:    [B, H, W, C] (uint8 or float), H and W divisible by
+                 2**(levels-1).
+      frame_idx: [M] int32 frame index per face.
+      kps:       [M, 5, 2] landmarks in frame coords.
+      out_size:  crop size (112).
+      dst:       template points; defaults to ARCFACE_DST scaled to out_size.
+
+    Returns [M, out_size, out_size, C] float32 crops.
+    """
+    if dst is None:
+        dst = jnp.asarray(ARCFACE_DST) * (out_size / 112.0)
+    pyr = build_pyramid(frames, levels)
+    h, w = frames.shape[1], frames.shape[2]
+
+    def one(fidx, k):
+        m = umeyama_similarity(k, dst)  # src -> dst
+        m_inv = _invert_affine(m)  # dst -> src
+        # Scale of dst->src (pixels of source per output pixel).
+        inv_scale = jnp.sqrt(jnp.abs(
+            m_inv[0, 0] * m_inv[1, 1] - m_inv[0, 1] * m_inv[1, 0]))
+        span = out_size * inv_scale * MARGIN
+        # Smallest level whose scaled span fits the ROI window.
+        lvl_f = jnp.ceil(jnp.log2(jnp.maximum(span / ROI, 1.0)))
+        lvl = jnp.clip(lvl_f.astype(jnp.int32), 0, levels - 1)
+
+        # Source-center of the crop = inverse image of the output center.
+        cx = m_inv[0, 0] * (out_size / 2) + m_inv[0, 1] * (out_size / 2) + m_inv[0, 2]
+        cy = m_inv[1, 0] * (out_size / 2) + m_inv[1, 1] * (out_size / 2) + m_inv[1, 2]
+
+        outs = []
+        for l in range(levels):
+            s = 2 ** l
+            lh, lw = h // s, w // s
+            # ROI start in level coords, clamped so the window stays inside.
+            x0 = jnp.clip(jnp.round(cx / s - ROI / 2).astype(jnp.int32),
+                          0, max(lw - ROI, 0))
+            y0 = jnp.clip(jnp.round(cy / s - ROI / 2).astype(jnp.int32),
+                          0, max(lh - ROI, 0))
+            img = pyr[l][fidx]
+            if lh < ROI or lw < ROI:
+                pad_h, pad_w = max(ROI - lh, 0), max(ROI - lw, 0)
+                img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+            roi = jax.lax.dynamic_slice(
+                img, (y0, x0, 0), (ROI, ROI, img.shape[-1]))
+            # Adjust dst->src matrix into ROI/level coordinates.
+            adj = jnp.array([[1.0 / s, 0.0], [0.0, 1.0 / s]], jnp.float32)
+            m_l = jnp.concatenate(
+                [adj @ m_inv[:, :2],
+                 (adj @ m_inv[:, 2] - jnp.stack([x0, y0]).astype(jnp.float32))[:, None]],
+                axis=1)
+            outs.append(_warp_one_from_roi(roi, m_l, out_size))
+        stacked = jnp.stack(outs)  # [levels, out, out, C]
+        return stacked[lvl]
+
+    return jax.vmap(one)(frame_idx, kps)

@@ -1,0 +1,818 @@
+"""Embedded Mongo-compatible document store.
+
+The reference uses MongoDB as datastore, job queue, and inter-process state
+bus (SURVEY.md §5.8): collections + GridFS (reference db/__init__.py:8-26),
+atomic claim via ``update_many`` (trainingServer.py:499-508), delta sync on
+``lastUpdated`` (infrenceServer.py:210-232), batched ``bulk_write``
+(peopleCount.py:547-587).  pymongo is not available here, so this module is
+a real in-process implementation of the pymongo surface those call sites
+need — query/update operator semantics match MongoDB for the supported
+subset, all mutations are atomic under one lock per database, and documents
+are deep-copied across the API boundary so callers can never alias store
+state.
+
+``store.client.get_database`` transparently returns a real pymongo database
+instead when a ``mongodb://`` URI is configured and pymongo is importable,
+so production deployments keep the reference's exact persistence layer.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+import threading
+from typing import Any, Iterable
+
+from .objectid import ObjectId
+
+
+class DuplicateKeyError(Exception):
+    pass
+
+
+class BulkWriteError(Exception):
+    def __init__(self, details):
+        super().__init__(str(details))
+        self.details = details
+
+
+# ----------------------------------------------------------------- results
+class InsertOneResult:
+    def __init__(self, inserted_id):
+        self.inserted_id = inserted_id
+        self.acknowledged = True
+
+
+class InsertManyResult:
+    def __init__(self, inserted_ids):
+        self.inserted_ids = inserted_ids
+        self.acknowledged = True
+
+
+class UpdateResult:
+    def __init__(self, matched, modified, upserted_id=None):
+        self.matched_count = matched
+        self.modified_count = modified
+        self.upserted_id = upserted_id
+        self.acknowledged = True
+
+
+class DeleteResult:
+    def __init__(self, deleted):
+        self.deleted_count = deleted
+        self.acknowledged = True
+
+
+class BulkWriteResult:
+    def __init__(self, inserted, matched, modified, deleted, upserted):
+        self.inserted_count = inserted
+        self.matched_count = matched
+        self.modified_count = modified
+        self.deleted_count = deleted
+        self.upserted_count = upserted
+        self.acknowledged = True
+
+
+# ------------------------------------------------------------ bulk requests
+class InsertOne:
+    def __init__(self, document):
+        self.document = document
+
+
+class UpdateOne:
+    def __init__(self, filter, update, upsert=False):
+        self.filter = filter
+        self.update = update
+        self.upsert = upsert
+
+
+class UpdateMany(UpdateOne):
+    pass
+
+
+class DeleteOne:
+    def __init__(self, filter):
+        self.filter = filter
+
+
+class DeleteMany(DeleteOne):
+    pass
+
+
+class ReplaceOne:
+    def __init__(self, filter, replacement, upsert=False):
+        self.filter = filter
+        self.replacement = replacement
+        self.upsert = upsert
+
+
+# --------------------------------------------------------------- matching
+def _get_path(doc: Any, path: str):
+    """Resolve a dotted path; returns (found, value)."""
+    cur = doc
+    for part in path.split("."):
+        if isinstance(cur, dict):
+            if part not in cur:
+                return False, None
+            cur = cur[part]
+        elif isinstance(cur, list):
+            if part.isdigit():
+                i = int(part)
+                if i >= len(cur):
+                    return False, None
+                cur = cur[i]
+            else:
+                # Mongo matches array-of-docs field traversal; collect values.
+                vals = []
+                for item in cur:
+                    if isinstance(item, dict) and part in item:
+                        vals.append(item[part])
+                if not vals:
+                    return False, None
+                cur = vals
+        else:
+            return False, None
+    return True, cur
+
+
+def _cmp_key(v):
+    """Total-order key for heterogeneous sort (None < numbers < str < other)."""
+    if v is None:
+        return (0, 0)
+    if isinstance(v, bool):
+        return (1, int(v))
+    if isinstance(v, (int, float)):
+        return (1, v)
+    if isinstance(v, str):
+        return (2, v)
+    if isinstance(v, ObjectId):
+        return (3, str(v))
+    try:
+        return (4, str(v))
+    except Exception:
+        return (5, 0)
+
+
+def _safe_cmp(a, b) -> int | None:
+    try:
+        if a is None or b is None:
+            return None
+        if type(a) is bool or type(b) is bool:
+            if type(a) is not type(b):
+                return None
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return (a > b) - (a < b)
+        if isinstance(a, str) and isinstance(b, str):
+            return (a > b) - (a < b)
+        if isinstance(a, ObjectId) and isinstance(b, ObjectId):
+            return (a > b) - (a < b)
+        if type(a) is type(b):
+            return (a > b) - (a < b)
+    except TypeError:
+        return None
+    return None
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, ObjectId) or isinstance(b, ObjectId):
+        try:
+            return ObjectId(a) == ObjectId(b) if a is not None and b is not None else a == b
+        except Exception:
+            return False
+    return a == b
+
+
+def _match_value(value, cond, exists: bool) -> bool:
+    """Match one field value against a condition (operator dict or literal)."""
+    if isinstance(cond, dict) and any(k.startswith("$") for k in cond):
+        for op, arg in cond.items():
+            if op == "$eq":
+                if not _match_value(value, arg, exists):
+                    return False
+            elif op == "$ne":
+                if _match_value(value, arg, exists):
+                    return False
+            elif op in ("$gt", "$gte", "$lt", "$lte"):
+                c = _safe_cmp(value, arg)
+                if c is None:
+                    return False
+                if op == "$gt" and not c > 0:
+                    return False
+                if op == "$gte" and not c >= 0:
+                    return False
+                if op == "$lt" and not c < 0:
+                    return False
+                if op == "$lte" and not c <= 0:
+                    return False
+            elif op == "$in":
+                vals = value if isinstance(value, list) else [value]
+                if not any(_values_equal(v, a) for v in vals for a in arg):
+                    return False
+            elif op == "$nin":
+                vals = value if isinstance(value, list) else [value]
+                if any(_values_equal(v, a) for v in vals for a in arg):
+                    return False
+            elif op == "$exists":
+                if bool(arg) != exists:
+                    return False
+            elif op == "$regex":
+                flags = re.IGNORECASE if "i" in str(cond.get("$options", "")) else 0
+                if not isinstance(value, str) or not re.search(arg, value, flags):
+                    return False
+            elif op == "$options":
+                continue
+            elif op == "$not":
+                if _match_value(value, arg, exists):
+                    return False
+            elif op == "$size":
+                if not isinstance(value, list) or len(value) != arg:
+                    return False
+            elif op == "$elemMatch":
+                if not isinstance(value, list):
+                    return False
+                if not any(_match_doc(v, arg) if isinstance(v, dict)
+                           else _match_value(v, arg, True) for v in value):
+                    return False
+            elif op == "$all":
+                vals = value if isinstance(value, list) else [value]
+                if not all(any(_values_equal(v, a) for v in vals) for a in arg):
+                    return False
+            else:
+                raise ValueError(f"unsupported query operator {op}")
+        return True
+    # literal match (including array-contains semantics)
+    if not exists:
+        return cond is None
+    if isinstance(value, list) and not isinstance(cond, list):
+        return any(_values_equal(v, cond) for v in value)
+    return _values_equal(value, cond)
+
+
+def _match_doc(doc: dict, query: dict) -> bool:
+    for key, cond in query.items():
+        if key == "$or":
+            if not any(_match_doc(doc, q) for q in cond):
+                return False
+        elif key == "$and":
+            if not all(_match_doc(doc, q) for q in cond):
+                return False
+        elif key == "$nor":
+            if any(_match_doc(doc, q) for q in cond):
+                return False
+        elif key == "$expr":
+            raise ValueError("$expr not supported")
+        else:
+            exists, value = _get_path(doc, key)
+            if not _match_value(value, cond, exists):
+                return False
+    return True
+
+
+# ---------------------------------------------------------------- updates
+def _set_path(doc: dict, path: str, value):
+    parts = path.split(".")
+    cur = doc
+    for p in parts[:-1]:
+        if isinstance(cur, list) and p.isdigit():
+            cur = cur[int(p)]
+            continue
+        if p not in cur or not isinstance(cur[p], (dict, list)):
+            cur[p] = {}
+        cur = cur[p]
+    if isinstance(cur, list) and parts[-1].isdigit():
+        cur[int(parts[-1])] = value
+    else:
+        cur[parts[-1]] = value
+
+
+def _unset_path(doc: dict, path: str):
+    parts = path.split(".")
+    cur = doc
+    for p in parts[:-1]:
+        if isinstance(cur, dict) and p in cur:
+            cur = cur[p]
+        else:
+            return
+    if isinstance(cur, dict):
+        cur.pop(parts[-1], None)
+
+
+def _apply_update(doc: dict, update: dict, *, on_insert: bool = False) -> bool:
+    """Apply update operators in place; returns True if doc changed."""
+    changed = False
+    if not any(k.startswith("$") for k in update):
+        # whole-document replacement
+        _id = doc.get("_id")
+        doc.clear()
+        doc.update(copy.deepcopy(update))
+        doc.setdefault("_id", _id)
+        return True
+    for op, fields in update.items():
+        if op == "$setOnInsert":
+            if on_insert:
+                for path, val in fields.items():
+                    _set_path(doc, path, copy.deepcopy(val))
+                    changed = True
+            continue
+        if op == "$set":
+            for path, val in fields.items():
+                exists, cur = _get_path(doc, path)
+                if not exists or cur != val:
+                    _set_path(doc, path, copy.deepcopy(val))
+                    changed = True
+        elif op == "$unset":
+            for path in fields:
+                exists, _ = _get_path(doc, path)
+                if exists:
+                    _unset_path(doc, path)
+                    changed = True
+        elif op == "$inc":
+            for path, val in fields.items():
+                exists, cur = _get_path(doc, path)
+                _set_path(doc, path, (cur if exists and cur is not None else 0) + val)
+                changed = True
+        elif op == "$push":
+            for path, val in fields.items():
+                exists, cur = _get_path(doc, path)
+                arr = cur if exists and isinstance(cur, list) else []
+                if isinstance(val, dict) and "$each" in val:
+                    arr = arr + [copy.deepcopy(v) for v in val["$each"]]
+                    if "$slice" in val:
+                        s = val["$slice"]
+                        arr = arr[s:] if s < 0 else arr[:s]
+                else:
+                    arr = arr + [copy.deepcopy(val)]
+                _set_path(doc, path, arr)
+                changed = True
+        elif op == "$addToSet":
+            for path, val in fields.items():
+                exists, cur = _get_path(doc, path)
+                arr = cur if exists and isinstance(cur, list) else []
+                if not any(_values_equal(v, val) for v in arr):
+                    _set_path(doc, path, arr + [copy.deepcopy(val)])
+                    changed = True
+        elif op == "$pull":
+            for path, val in fields.items():
+                exists, cur = _get_path(doc, path)
+                if exists and isinstance(cur, list):
+                    if isinstance(val, dict) and any(k.startswith("$") for k in val):
+                        new = [v for v in cur if not _match_value(v, val, True)]
+                    elif isinstance(val, dict):
+                        new = [v for v in cur
+                               if not (isinstance(v, dict) and _match_doc(v, val))]
+                    else:
+                        new = [v for v in cur if not _values_equal(v, val)]
+                    if len(new) != len(cur):
+                        _set_path(doc, path, new)
+                        changed = True
+        elif op == "$currentDate":
+            import datetime
+
+            for path in fields:
+                _set_path(doc, path, datetime.datetime.now(datetime.timezone.utc))
+                changed = True
+        elif op == "$min":
+            for path, val in fields.items():
+                exists, cur = _get_path(doc, path)
+                if not exists or _safe_cmp(val, cur) == -1:
+                    _set_path(doc, path, copy.deepcopy(val))
+                    changed = True
+        elif op == "$max":
+            for path, val in fields.items():
+                exists, cur = _get_path(doc, path)
+                if not exists or _safe_cmp(val, cur) == 1:
+                    _set_path(doc, path, copy.deepcopy(val))
+                    changed = True
+        else:
+            raise ValueError(f"unsupported update operator {op}")
+    return changed
+
+
+def _project(doc: dict, projection: dict | None) -> dict:
+    if not projection:
+        return copy.deepcopy(doc)
+    include_id = projection.get("_id", 1)
+    fields = {k: v for k, v in projection.items() if k != "_id"}
+    inclusive = any(v for v in fields.values()) if fields else bool(include_id)
+    out: dict
+    if inclusive:
+        out = {}
+        for path, flag in fields.items():
+            if flag:
+                exists, val = _get_path(doc, path)
+                if exists:
+                    _set_path(out, path, copy.deepcopy(val))
+        if include_id and "_id" in doc:
+            out["_id"] = doc["_id"]
+    else:
+        out = copy.deepcopy(doc)
+        for path, flag in fields.items():
+            if not flag:
+                _unset_path(out, path)
+        if not include_id:
+            out.pop("_id", None)
+    return out
+
+
+# ----------------------------------------------------------------- cursor
+class Cursor:
+    def __init__(self, docs: list, projection=None):
+        self._docs = docs
+        self._projection = projection
+        self._sort = None
+        self._skip = 0
+        self._limit = None
+
+    def sort(self, key_or_list, direction: int = 1) -> "Cursor":
+        if isinstance(key_or_list, str):
+            self._sort = [(key_or_list, direction)]
+        else:
+            self._sort = list(key_or_list)
+        return self
+
+    def skip(self, n: int) -> "Cursor":
+        self._skip = n
+        return self
+
+    def limit(self, n: int) -> "Cursor":
+        self._limit = n
+        return self
+
+    def _resolved(self) -> list:
+        docs = self._docs
+        if self._sort:
+            for key, direction in reversed(self._sort):
+                docs = sorted(
+                    docs,
+                    key=lambda d: _cmp_key(_get_path(d, key)[1]),
+                    reverse=direction < 0,
+                )
+        if self._skip:
+            docs = docs[self._skip:]
+        if self._limit is not None:
+            docs = docs[: self._limit]
+        return [_project(d, self._projection) for d in docs]
+
+    def __iter__(self):
+        return iter(self._resolved())
+
+    def __len__(self):
+        return len(self._resolved())
+
+    def __getitem__(self, i):
+        return self._resolved()[i]
+
+
+# ------------------------------------------------------------- collection
+class Collection:
+    def __init__(self, db: "Database", name: str):
+        self._db = db
+        self.name = name
+        self._docs: dict = {}  # _id-key -> doc
+        self._indexes: list = []
+        self._unique: list = []  # list of tuple(field names)
+
+    # -- helpers
+    @property
+    def _lock(self):
+        return self._db._lock
+
+    @staticmethod
+    def _id_key(_id):
+        return str(_id) if isinstance(_id, ObjectId) else _id
+
+    def _check_unique(self, doc, exclude_key=None):
+        for fields in self._unique:
+            probe = {}
+            for f in fields:
+                exists, val = _get_path(doc, f)
+                probe[f] = val if exists else None
+            if all(v is None for v in probe.values()):
+                continue
+            for key, other in self._docs.items():
+                if key == exclude_key:
+                    continue
+                if all(_values_equal(_get_path(other, f)[1], probe[f]) for f in fields):
+                    raise DuplicateKeyError(
+                        f"E11000 duplicate key error collection: "
+                        f"{self._db.name}.{self.name} index: {fields}"
+                    )
+
+    # -- inserts
+    def insert_one(self, document: dict) -> InsertOneResult:
+        with self._lock:
+            doc = copy.deepcopy(document)
+            doc.setdefault("_id", ObjectId())
+            key = self._id_key(doc["_id"])
+            if key in self._docs:
+                raise DuplicateKeyError(f"duplicate _id {doc['_id']}")
+            self._check_unique(doc)
+            self._docs[key] = doc
+            # mirror pymongo: inserted _id is visible on the caller's dict
+            document.setdefault("_id", doc["_id"])
+            return InsertOneResult(doc["_id"])
+
+    def insert_many(self, documents: Iterable[dict]) -> InsertManyResult:
+        ids = []
+        for d in documents:
+            ids.append(self.insert_one(d).inserted_id)
+        return InsertManyResult(ids)
+
+    # -- reads
+    def find(self, filter: dict | None = None, projection: dict | None = None) -> Cursor:
+        with self._lock:
+            filter = filter or {}
+            docs = [d for d in self._docs.values() if _match_doc(d, filter)]
+            # deep-copy happens at projection time in Cursor._resolved
+            return Cursor([copy.deepcopy(d) for d in docs], projection)
+
+    def find_one(self, filter: dict | None = None, projection: dict | None = None,
+                 sort=None):
+        cur = self.find(filter, projection)
+        if sort:
+            cur = cur.sort(sort)
+        for doc in cur.limit(1):
+            return doc
+        return None
+
+    def count_documents(self, filter: dict | None = None) -> int:
+        filter = filter or {}
+        with self._lock:
+            return sum(1 for d in self._docs.values() if _match_doc(d, filter))
+
+    def estimated_document_count(self) -> int:
+        return len(self._docs)
+
+    def distinct(self, key: str, filter: dict | None = None) -> list:
+        out = []
+        for doc in self.find(filter):
+            exists, val = _get_path(doc, key)
+            if exists:
+                vals = val if isinstance(val, list) else [val]
+                for v in vals:
+                    if not any(_values_equal(v, o) for o in out):
+                        out.append(v)
+        return out
+
+    # -- updates
+    def _update(self, filter, update, upsert, many) -> UpdateResult:
+        with self._lock:
+            matched = modified = 0
+            for key, doc in list(self._docs.items()):
+                if _match_doc(doc, filter):
+                    matched += 1
+                    work = copy.deepcopy(doc)
+                    if _apply_update(work, update):
+                        self._check_unique(work, exclude_key=key)
+                        if self._id_key(work.get("_id")) != key:
+                            raise ValueError("_id is immutable")
+                        self._docs[key] = work
+                        modified += 1
+                    if not many:
+                        break
+            if matched == 0 and upsert:
+                base: dict = {}
+                # seed from equality conditions in the filter
+                for k, v in filter.items():
+                    if not k.startswith("$") and not (
+                        isinstance(v, dict) and any(s.startswith("$") for s in v)
+                    ):
+                        _set_path(base, k, copy.deepcopy(v))
+                _apply_update(base, update, on_insert=True)
+                base.setdefault("_id", ObjectId())
+                self._check_unique(base)
+                self._docs[self._id_key(base["_id"])] = base
+                return UpdateResult(0, 0, upserted_id=base["_id"])
+            return UpdateResult(matched, modified)
+
+    def update_one(self, filter, update, upsert=False) -> UpdateResult:
+        return self._update(filter, update, upsert, many=False)
+
+    def update_many(self, filter, update, upsert=False) -> UpdateResult:
+        return self._update(filter, update, upsert, many=True)
+
+    def replace_one(self, filter, replacement, upsert=False) -> UpdateResult:
+        return self._update(filter, replacement, upsert, many=False)
+
+    def find_one_and_update(self, filter, update, upsert=False,
+                            return_document=False, sort=None):
+        """return_document: False = BEFORE (pymongo default), True = AFTER."""
+        with self._lock:
+            candidates = [
+                (k, d) for k, d in self._docs.items() if _match_doc(d, filter)
+            ]
+            if sort and candidates:
+                for key, direction in reversed(
+                    [(sort, 1)] if isinstance(sort, str) else list(sort)
+                ):
+                    candidates.sort(
+                        key=lambda kd: _cmp_key(_get_path(kd[1], key)[1]),
+                        reverse=direction < 0,
+                    )
+            if candidates:
+                key, doc = candidates[0]
+                before = copy.deepcopy(doc)
+                work = copy.deepcopy(doc)
+                if _apply_update(work, update):
+                    self._check_unique(work, exclude_key=key)
+                    self._docs[key] = work
+                return copy.deepcopy(work) if return_document else before
+            if upsert:
+                res = self._update(filter, update, upsert=True, many=False)
+                if return_document and res.upserted_id is not None:
+                    return self.find_one({"_id": res.upserted_id})
+            return None
+
+    # -- deletes
+    def delete_one(self, filter) -> DeleteResult:
+        with self._lock:
+            for key, doc in list(self._docs.items()):
+                if _match_doc(doc, filter):
+                    del self._docs[key]
+                    return DeleteResult(1)
+            return DeleteResult(0)
+
+    def delete_many(self, filter) -> DeleteResult:
+        with self._lock:
+            victims = [k for k, d in self._docs.items() if _match_doc(d, filter)]
+            for k in victims:
+                del self._docs[k]
+            return DeleteResult(len(victims))
+
+    # -- bulk
+    def bulk_write(self, requests: list, ordered: bool = True) -> BulkWriteResult:
+        inserted = matched = modified = deleted = upserted = 0
+        for req in requests:
+            if isinstance(req, InsertOne):
+                self.insert_one(req.document)
+                inserted += 1
+            elif isinstance(req, UpdateMany):
+                r = self.update_many(req.filter, req.update, req.upsert)
+                matched += r.matched_count
+                modified += r.modified_count
+                upserted += 1 if r.upserted_id is not None else 0
+            elif isinstance(req, UpdateOne):
+                r = self.update_one(req.filter, req.update, req.upsert)
+                matched += r.matched_count
+                modified += r.modified_count
+                upserted += 1 if r.upserted_id is not None else 0
+            elif isinstance(req, ReplaceOne):
+                r = self.replace_one(req.filter, req.replacement, req.upsert)
+                matched += r.matched_count
+                modified += r.modified_count
+                upserted += 1 if r.upserted_id is not None else 0
+            elif isinstance(req, DeleteMany):
+                deleted += self.delete_many(req.filter).deleted_count
+            elif isinstance(req, DeleteOne):
+                deleted += self.delete_one(req.filter).deleted_count
+            else:
+                raise TypeError(f"unsupported bulk request {type(req)}")
+        return BulkWriteResult(inserted, matched, modified, deleted, upserted)
+
+    # -- indexes (tracked; unique is enforced)
+    def create_index(self, keys, unique: bool = False, **kwargs) -> str:
+        if isinstance(keys, str):
+            fields = (keys,)
+        else:
+            fields = tuple(k if isinstance(k, str) else k[0] for k in keys)
+        name = kwargs.get("name") or "_".join(f"{f}_1" for f in fields)
+        with self._lock:
+            self._indexes.append({"name": name, "fields": fields, "unique": unique,
+                                  **{k: v for k, v in kwargs.items() if k != "name"}})
+            if unique and fields not in self._unique:
+                self._unique.append(fields)
+        return name
+
+    def index_information(self) -> dict:
+        return {ix["name"]: ix for ix in self._indexes}
+
+    def drop(self):
+        with self._lock:
+            self._docs.clear()
+
+    # -- aggregate (subset: $match, $sort, $skip, $limit, $project, $group,
+    #    $unwind, $count)
+    def aggregate(self, pipeline: list) -> list:
+        docs = [d for d in self.find({})]
+        for stage in pipeline:
+            (op, arg), = stage.items()
+            if op == "$match":
+                docs = [d for d in docs if _match_doc(d, arg)]
+            elif op == "$sort":
+                for key, direction in reversed(list(arg.items())):
+                    docs.sort(key=lambda d: _cmp_key(_get_path(d, key)[1]),
+                              reverse=direction < 0)
+            elif op == "$skip":
+                docs = docs[arg:]
+            elif op == "$limit":
+                docs = docs[:arg]
+            elif op == "$project":
+                docs = [_project(d, arg) for d in docs]
+            elif op == "$unwind":
+                path = arg if isinstance(arg, str) else arg["path"]
+                path = path.lstrip("$")
+                out = []
+                for d in docs:
+                    exists, val = _get_path(d, path)
+                    if exists and isinstance(val, list):
+                        for v in val:
+                            nd = copy.deepcopy(d)
+                            _set_path(nd, path, v)
+                            out.append(nd)
+                docs = out
+            elif op == "$count":
+                docs = [{arg: len(docs)}]
+            elif op == "$group":
+                docs = self._group(docs, arg)
+            else:
+                raise ValueError(f"unsupported aggregate stage {op}")
+        return docs
+
+    @staticmethod
+    def _resolve_expr(doc, expr):
+        if isinstance(expr, str) and expr.startswith("$"):
+            return _get_path(doc, expr[1:])[1]
+        return expr
+
+    def _group(self, docs, spec) -> list:
+        groups: dict = {}
+        order: list = []
+        for d in docs:
+            gid = self._resolve_expr(d, spec["_id"])
+            key = str(gid)
+            if key not in groups:
+                groups[key] = {"_id": gid, "__docs": []}
+                order.append(key)
+            groups[key]["__docs"].append(d)
+        out = []
+        for key in order:
+            g = groups[key]
+            row = {"_id": g["_id"]}
+            for field, agg in spec.items():
+                if field == "_id":
+                    continue
+                (aop, aarg), = agg.items()
+                vals = [self._resolve_expr(d, aarg) for d in g["__docs"]]
+                if aop == "$sum":
+                    if isinstance(aarg, (int, float)) and not isinstance(aarg, str):
+                        row[field] = aarg * len(vals)
+                    else:
+                        row[field] = sum(
+                            v for v in vals
+                            if isinstance(v, (int, float)) and not isinstance(v, bool)
+                        )
+                elif aop == "$avg":
+                    nums = [v for v in vals if isinstance(v, (int, float))]
+                    row[field] = sum(nums) / len(nums) if nums else None
+                elif aop == "$min":
+                    row[field] = min((v for v in vals if v is not None),
+                                     key=_cmp_key, default=None)
+                elif aop == "$max":
+                    row[field] = max((v for v in vals if v is not None),
+                                     key=_cmp_key, default=None)
+                elif aop == "$first":
+                    row[field] = vals[0] if vals else None
+                elif aop == "$last":
+                    row[field] = vals[-1] if vals else None
+                elif aop == "$push":
+                    row[field] = vals
+                elif aop == "$addToSet":
+                    uniq = []
+                    for v in vals:
+                        if not any(_values_equal(v, u) for u in uniq):
+                            uniq.append(v)
+                    row[field] = uniq
+                else:
+                    raise ValueError(f"unsupported group accumulator {aop}")
+            out.append(row)
+        return out
+
+
+class Database:
+    def __init__(self, name: str = "bharatlytics"):
+        self.name = name
+        self._lock = threading.RLock()
+        self._collections: dict[str, Collection] = {}
+
+    def __getitem__(self, name: str) -> Collection:
+        with self._lock:
+            if name not in self._collections:
+                self._collections[name] = Collection(self, name)
+            return self._collections[name]
+
+    def __getattr__(self, name: str) -> Collection:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self[name]
+
+    def list_collection_names(self) -> list:
+        return list(self._collections)
+
+    def drop_collection(self, name: str):
+        with self._lock:
+            self._collections.pop(name, None)
+
+    def command(self, cmd):
+        if cmd == "ping" or cmd == {"ping": 1}:
+            return {"ok": 1}
+        raise ValueError(f"unsupported command {cmd}")

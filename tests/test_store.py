@@ -1,0 +1,234 @@
+"""Tests for the embedded Mongo-compatible document store + GridFS."""
+
+import threading
+
+import pytest
+
+from facerecognition_infrenceengine_tpu.store import (
+    Database,
+    DuplicateKeyError,
+    GridFS,
+    InsertOne,
+    ObjectId,
+    UpdateOne,
+    UpdateMany,
+    DeleteOne,
+    Datastore,
+    init_db,
+)
+from facerecognition_infrenceengine_tpu.core.config import Config
+
+
+@pytest.fixture
+def db():
+    return Database("test")
+
+
+def test_objectid_roundtrip_and_validation():
+    oid = ObjectId()
+    assert len(str(oid)) == 24
+    assert ObjectId(str(oid)) == oid
+    assert ObjectId.is_valid(str(oid))
+    assert not ObjectId.is_valid("nope")
+    assert ObjectId() != ObjectId()
+
+
+def test_insert_find_basic(db):
+    c = db["things"]
+    r = c.insert_one({"a": 1, "b": {"c": 2}})
+    assert isinstance(r.inserted_id, ObjectId)
+    doc = c.find_one({"a": 1})
+    assert doc["b"]["c"] == 2
+    assert c.find_one({"b.c": 2})["a"] == 1
+    assert c.find_one({"a": 99}) is None
+    assert c.count_documents({}) == 1
+
+
+def test_find_by_objectid_string_coercion(db):
+    c = db["things"]
+    rid = c.insert_one({"x": 1}).inserted_id
+    assert c.find_one({"_id": ObjectId(str(rid))})["x"] == 1
+
+
+def test_query_operators(db):
+    c = db["q"]
+    c.insert_many([{"n": i, "tag": f"t{i%3}", "arr": [i, i + 10]} for i in range(10)])
+    assert c.count_documents({"n": {"$gte": 5}}) == 5
+    assert c.count_documents({"n": {"$lt": 3}}) == 3
+    assert c.count_documents({"n": {"$lte": 3}}) == 4
+    assert c.count_documents({"n": {"$in": [1, 2, 99]}}) == 2
+    assert c.count_documents({"n": {"$nin": list(range(8))}}) == 2
+    assert c.count_documents({"tag": {"$ne": "t0"}}) == 6
+    assert c.count_documents({"missing": {"$exists": False}}) == 10
+    assert c.count_documents({"arr": 12}) == 1  # array-contains
+    assert c.count_documents({"$or": [{"n": 1}, {"n": 2}]}) == 2
+    assert c.count_documents({"tag": {"$regex": "^t1$"}}) == 3
+
+
+def test_sort_skip_limit_projection(db):
+    c = db["s"]
+    c.insert_many([{"n": i, "big": "x" * 5} for i in range(10)])
+    docs = list(c.find({}).sort("n", -1).skip(2).limit(3))
+    assert [d["n"] for d in docs] == [7, 6, 5]
+    d = c.find_one({"n": 1}, {"n": 1})
+    assert set(d) == {"_id", "n"}
+    d = c.find_one({"n": 1}, {"big": 0})
+    assert "big" not in d and d["n"] == 1
+
+
+def test_update_operators(db):
+    c = db["u"]
+    c.insert_one({"a": 1, "arr": [1]})
+    c.update_one({"a": 1}, {"$set": {"b.c": 5}, "$inc": {"a": 2},
+                            "$push": {"arr": 9}, "$addToSet": {"arr": 1}})
+    d = c.find_one({})
+    assert d["a"] == 3 and d["b"]["c"] == 5 and d["arr"] == [1, 9]
+    c.update_one({}, {"$pull": {"arr": 9}, "$unset": {"b": ""}})
+    d = c.find_one({})
+    assert d["arr"] == [1] and "b" not in d
+    r = c.update_one({"a": 3}, {"$set": {"a": 3}})
+    assert r.matched_count == 1 and r.modified_count == 0
+
+
+def test_upsert_and_set_on_insert(db):
+    c = db["up"]
+    r = c.update_one({"k": "x"}, {"$set": {"v": 1}, "$setOnInsert": {"init": True}},
+                     upsert=True)
+    assert r.upserted_id is not None
+    d = c.find_one({"k": "x"})
+    assert d["v"] == 1 and d["init"] is True
+    c.update_one({"k": "x"}, {"$set": {"v": 2}}, upsert=True)
+    assert c.count_documents({}) == 1
+    assert c.find_one({})["v"] == 2
+
+
+def test_atomic_claim_pattern(db):
+    """The trainingServer job-claim pattern (reference trainingServer.py:491-513)."""
+    jobs = db["jobs"]
+    jobs.insert_many([{"status": "queued", "i": i} for i in range(5)])
+    claimed = [d["_id"] for d in jobs.find({"status": "queued"}).limit(3)]
+    r = jobs.update_many({"_id": {"$in": claimed}, "status": "queued"},
+                         {"$set": {"status": "started", "worker": "w1"}})
+    assert r.modified_count == 3
+    # second worker cannot double-claim
+    r2 = jobs.update_many({"_id": {"$in": claimed}, "status": "queued"},
+                          {"$set": {"status": "started", "worker": "w2"}})
+    assert r2.modified_count == 0
+    assert jobs.count_documents({"worker": "w1"}) == 3
+
+
+def test_find_one_and_update(db):
+    c = db["f"]
+    c.insert_one({"s": "queued", "p": 1})
+    before = c.find_one_and_update({"s": "queued"}, {"$set": {"s": "started"}})
+    assert before["s"] == "queued"
+    after = c.find_one_and_update({"s": "started"}, {"$set": {"p": 2}},
+                                  return_document=True)
+    assert after["p"] == 2
+
+
+def test_bulk_write(db):
+    c = db["b"]
+    res = c.bulk_write([
+        InsertOne({"k": 1}),
+        InsertOne({"k": 2}),
+        UpdateOne({"k": 1}, {"$set": {"u": True}}),
+        UpdateMany({}, {"$set": {"m": 1}}),
+        DeleteOne({"k": 2}),
+    ])
+    assert res.inserted_count == 2 and res.deleted_count == 1
+    assert c.find_one({"k": 1})["u"] is True
+
+
+def test_unique_index(db):
+    c = db["uq"]
+    c.create_index([("email", 1)], unique=True)
+    c.insert_one({"email": "a@x.com"})
+    with pytest.raises(DuplicateKeyError):
+        c.insert_one({"email": "a@x.com"})
+    c.insert_one({"email": "b@x.com"})
+
+
+def test_no_aliasing(db):
+    c = db["al"]
+    src = {"a": {"b": 1}}
+    c.insert_one(src)
+    src["a"]["b"] = 999
+    assert c.find_one({})["a"]["b"] == 1
+    out = c.find_one({})
+    out["a"]["b"] = 5
+    assert c.find_one({})["a"]["b"] == 1
+
+
+def test_aggregate_group(db):
+    c = db["ag"]
+    c.insert_many([
+        {"host": "h1", "n": 1}, {"host": "h1", "n": 3}, {"host": "h2", "n": 5},
+    ])
+    rows = c.aggregate([
+        {"$group": {"_id": "$host", "count": {"$sum": 1}, "total": {"$sum": "$n"}}},
+        {"$sort": {"count": -1}},
+    ])
+    assert rows[0] == {"_id": "h1", "count": 2, "total": 4}
+    assert rows[1] == {"_id": "h2", "count": 1, "total": 5}
+
+
+def test_distinct(db):
+    c = db["d"]
+    c.insert_many([{"t": "a"}, {"t": "a"}, {"t": "b"}])
+    assert sorted(c.distinct("t")) == ["a", "b"]
+
+
+def test_concurrent_claims_are_exclusive(db):
+    jobs = db["cj"]
+    jobs.insert_many([{"status": "queued", "i": i} for i in range(50)])
+    wins: list = []
+
+    def worker(wid):
+        for _ in range(50):
+            doc = jobs.find_one_and_update(
+                {"status": "queued"}, {"$set": {"status": "started", "w": wid}}
+            )
+            if doc is not None:
+                wins.append(doc["i"])
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(wins) == list(range(50))  # every job claimed exactly once
+
+
+def test_gridfs_roundtrip(db):
+    fs = GridFS(db, collection="imgs")
+    fid = fs.put(b"hello world", filename="f.jpg", metadata={"k": 1}, companyId="c1")
+    out = fs.get(fid)
+    assert out.read() == b"hello world"
+    assert out.filename == "f.jpg"
+    assert out.companyId == "c1"
+    assert fs.exists(fid)
+    assert fs.exists(str(fid))
+    fs.delete(fid)
+    assert not fs.exists(fid)
+
+
+def test_gridfs_large_file(db):
+    fs = GridFS(db)
+    blob = bytes(range(256)) * 4096  # 1 MB, spans chunks
+    fid = fs.put(blob, filename="big")
+    assert fs.get(fid).read() == blob
+
+
+def test_datastore_init_db():
+    cfg = Config()
+    ds = Datastore(cfg)
+    init_db(ds)
+    init_db(ds)  # idempotent
+    templates = list(ds.entity_templates.find({}))
+    assert len(templates) == 2
+    names = {t["name"] for t in templates}
+    assert names == {"Manufacturing Plant", "Office Building"}
+    mt = next(t for t in templates if t["type"] == "manufacturing")
+    assert "business_unit" in mt["structure"]["entityTypes"]
+    assert mt["structure"]["defaultValidations"]["plantCode"] == "^PLT\\d{3}$"
