@@ -343,8 +343,13 @@ class App:
     def register_blueprint(self, bp: Blueprint, url_prefix: str | None = None):
         prefix = url_prefix if url_prefix is not None else bp.url_prefix
         for rule, methods, fn in bp._routes:
-            full = (prefix.rstrip("/") + rule) if rule != "/" else (prefix or "/")
-            self.add_url_rule(full, fn, methods)
+            if rule in ("", "/"):
+                # blueprint root: accept both /prefix and /prefix/
+                self.add_url_rule(prefix or "/", fn, methods)
+                if prefix:
+                    self.add_url_rule(prefix + "/", fn, methods)
+            else:
+                self.add_url_rule(prefix.rstrip("/") + rule, fn, methods)
 
     def before_request(self, fn):
         self._before.append(fn)
