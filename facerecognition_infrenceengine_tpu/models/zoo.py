@@ -1,0 +1,211 @@
+"""FaceAnalysis-compatible facade over the TPU engine.
+
+The reference constructs ``insightface.app.FaceAnalysis(name="buffalo_l")``
+and calls ``.prepare(ctx_id)`` / ``.get(frame)`` everywhere
+(reference infrenceServer.py:409-416/528, trainingServer.py:130-142/227,
+peopleCount.py:832-841/857).  This module provides the same call surface:
+``get`` returns ``Face`` objects with ``.bbox``, ``.det_score``, ``.kps``
+and ``.normed_embedding`` — but the compute path is the jitted SCRFD +
+alignment + IResNet pipeline (engine/pipeline.py) instead of ONNX Runtime.
+
+``FakeFaceAnalysis`` is the deterministic test double (SURVEY.md §4c): it
+decodes a face descriptor hidden in the image pixels, so domain logic
+(enrollment state machine, campus counting, clustering) is testable without
+model weights.  Marker format produced by ``encode_fake_face``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.config import EngineConfig, get_config
+from ..ops.align import ARCFACE_DST
+
+
+@dataclass
+class Face:
+    bbox: np.ndarray  # [4] xyxy, original frame coords
+    det_score: float
+    kps: np.ndarray  # [5, 2]
+    normed_embedding: np.ndarray = field(default=None)  # [512] unit norm
+    gender: int | None = None
+    age: int | None = None
+    landmark_2d_106: np.ndarray | None = None
+
+
+def letterbox(frame: np.ndarray, canvas_hw: tuple) -> tuple:
+    """Resize-with-aspect onto a zero canvas (insightface det convention);
+    returns (canvas uint8, scale) with coords_canvas = coords_orig * scale."""
+    import cv2
+
+    ch, cw = canvas_hw
+    h, w = frame.shape[:2]
+    scale = min(ch / h, cw / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = cv2.resize(frame, (nw, nh))
+    canvas = np.zeros((ch, cw, 3), frame.dtype)
+    canvas[:nh, :nw] = resized
+    return canvas, scale
+
+
+def _pad_to_multiple(frame: np.ndarray, mult: int = 8) -> np.ndarray:
+    h, w = frame.shape[:2]
+    ph, pw = (-h) % mult, (-w) % mult
+    if ph or pw:
+        frame = np.pad(frame, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return frame
+
+
+class FaceAnalysis:
+    """TPU-backed implementation of the insightface facade."""
+
+    def __init__(self, name: str = "buffalo_l", cfg: EngineConfig | None = None,
+                 engine=None, **_):
+        self.name = name
+        self.cfg = cfg or get_config().engine
+        self._engine = engine
+        self.det_thresh = 0.3
+
+    def prepare(self, ctx_id: int = 0, det_size: tuple | None = None,
+                det_thresh: float = 0.3):
+        if det_size is not None and tuple(det_size) != tuple(self.cfg.det_size):
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, det_size=tuple(det_size))
+            self._engine = None
+        self.det_thresh = det_thresh
+        self._ensure_engine()
+
+    def _ensure_engine(self):
+        if self._engine is None:
+            from ..engine.pipeline import FaceEngine
+
+            self._engine = FaceEngine(self.cfg)
+        return self._engine
+
+    def get(self, frame: np.ndarray, max_num: int = 0) -> list:
+        """BGR uint8 frame -> list of Face (insightface contract)."""
+        faces_batch = self.get_batch([frame], max_num=max_num)
+        return faces_batch[0]
+
+    def get_batch(self, frames: list, max_num: int = 0) -> list:
+        """Batched variant (the TPU-native entry the micro-batcher uses)."""
+        engine = self._ensure_engine()
+        canvases = []
+        scales = []
+        rgb_frames = []
+        for frame in frames:
+            rgb = frame[..., ::-1]  # reference feeds BGR; models expect RGB
+            canvas, scale = letterbox(rgb, self.cfg.det_size)
+            canvases.append(canvas)
+            scales.append(scale)
+            rgb_frames.append(rgb)
+        det = engine.detect(np.stack(canvases), det_threshold=self.det_thresh)
+
+        # collect all faces across frames, map coords back to native frames
+        all_idx, all_kps, per_frame = [], [], []
+        for b, scale in enumerate(scales):
+            faces = []
+            for f in range(det.valid.shape[1]):
+                if not det.valid[b, f]:
+                    continue
+                faces.append(Face(
+                    bbox=det.boxes[b, f] / scale,
+                    det_score=float(det.scores[b, f]),
+                    kps=det.kps[b, f] / scale,
+                ))
+            if max_num:
+                faces = faces[:max_num]
+            per_frame.append(faces)
+            for i, face in enumerate(faces):
+                all_idx.append(b)
+                all_kps.append(face.kps)
+
+        if all_idx:
+            # embed from native-resolution frames (padded to a common shape)
+            max_h = max(f.shape[0] for f in rgb_frames)
+            max_w = max(f.shape[1] for f in rgb_frames)
+            max_h += (-max_h) % 8
+            max_w += (-max_w) % 8
+            batch = np.zeros((len(rgb_frames), max_h, max_w, 3), np.uint8)
+            for i, f in enumerate(rgb_frames):
+                batch[i, :f.shape[0], :f.shape[1]] = f
+            emb = engine.embed_faces(batch, np.asarray(all_idx, np.int32),
+                                     np.stack(all_kps).astype(np.float32))
+            k = 0
+            for faces in per_frame:
+                for face in faces:
+                    face.normed_embedding = emb[k]
+                    k += 1
+        return per_frame
+
+
+# --------------------------------------------------------------- test fake
+MARKER = np.array([17, 103, 229], np.uint8)
+
+
+def encode_fake_face(person_seed: int, pose_jitter: float = 0.0,
+                     bbox=(100, 100, 200, 220), size=(480, 640),
+                     score: float = 0.9) -> np.ndarray:
+    """Create a BGR image carrying one fake face descriptor in its pixels.
+
+    ``person_seed`` determines the identity embedding; ``pose_jitter`` adds
+    per-image rotation of the embedding (0.0 = identical across poses, large
+    values make poses look like different people)."""
+    img = np.random.default_rng(person_seed * 7919 + int(pose_jitter * 1e4)) \
+        .integers(0, 255, (*size, 3)).astype(np.uint8)
+    img[0, 0] = MARKER
+    img[0, 1] = np.frombuffer(np.int32(person_seed).tobytes()[:3], np.uint8)
+    img[0, 2] = np.clip([pose_jitter * 100, score * 255, 1], 0, 255).astype(np.uint8)
+    x1, y1, x2, y2 = bbox
+    img[0, 3] = [x1 // 4, y1 // 4, x2 // 4]
+    img[0, 4] = [y2 // 4, 0, 0]
+    return img
+
+
+def fake_embedding(person_seed: int, pose_jitter: float = 0.0) -> np.ndarray:
+    """Deterministic unit embedding; jitter rotates it away from the base."""
+    rng = np.random.default_rng(int(person_seed))
+    base = rng.normal(size=512).astype(np.float32)
+    base /= np.linalg.norm(base)
+    if pose_jitter:
+        noise_rng = np.random.default_rng(int(person_seed) * 31 + 7)
+        noise = noise_rng.normal(size=512).astype(np.float32)
+        noise -= noise @ base * base
+        noise /= np.linalg.norm(noise)
+        vec = np.cos(pose_jitter) * base + np.sin(pose_jitter) * noise
+        return vec / np.linalg.norm(vec)
+    return base
+
+
+class FakeFaceAnalysis:
+    """Deterministic detector/embedder reading descriptors from pixels."""
+
+    def __init__(self, *_, **__):
+        pass
+
+    def prepare(self, *_, **__):
+        pass
+
+    def get(self, frame: np.ndarray, max_num: int = 0) -> list:
+        if frame.shape[0] < 1 or frame.shape[1] < 5:
+            return []
+        if not np.array_equal(frame[0, 0], MARKER):
+            return []
+        seed = int.from_bytes(bytes(frame[0, 1].tolist()) + b"\x00", "little")
+        jitter = float(frame[0, 2, 0]) / 100.0
+        score = float(frame[0, 2, 1]) / 255.0
+        x1, y1, x2 = (int(v) * 4 for v in frame[0, 3])
+        y2 = int(frame[0, 4, 0]) * 4
+        kps = (np.asarray(ARCFACE_DST) * (x2 - x1) / 112.0
+               + np.array([x1, y1], np.float32))
+        return [Face(bbox=np.array([x1, y1, x2, y2], np.float32),
+                     det_score=score,
+                     kps=kps.astype(np.float32),
+                     normed_embedding=fake_embedding(seed, jitter))]
+
+    def get_batch(self, frames: list, max_num: int = 0) -> list:
+        return [self.get(f, max_num) for f in frames]

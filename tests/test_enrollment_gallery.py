@@ -1,0 +1,208 @@
+"""End-to-end enrollment pipeline tests with the deterministic fake
+detector: register (API) -> worker claims job -> embedding stored ->
+gallery syncs -> match.  Covers the full job state machine."""
+
+import datetime
+
+import cv2
+import numpy as np
+import pytest
+
+from facerecognition_infrenceengine_tpu.api import create_app
+from facerecognition_infrenceengine_tpu.core.config import Config
+from facerecognition_infrenceengine_tpu.domain.enrollment import (
+    FaceEmbeddingWorker,
+    JobStatus,
+)
+from facerecognition_infrenceengine_tpu.engine.gallery import GalleryManager
+from facerecognition_infrenceengine_tpu.models.zoo import (
+    FakeFaceAnalysis,
+    encode_fake_face,
+    fake_embedding,
+)
+from facerecognition_infrenceengine_tpu.store import Datastore
+
+
+def png(person_seed, jitter=0.0):
+    img = encode_fake_face(person_seed, jitter)
+    ok, buf = cv2.imencode(".png", img)  # lossless: descriptor pixels survive
+    assert ok
+    return buf.tobytes()
+
+
+@pytest.fixture
+def world():
+    cfg = Config()
+    ds = Datastore(cfg)
+    app = create_app(ds, cfg)
+    client = app.test_client()
+    cid = client.post("/bharatlytics/v1/companies/seed").get_json()["company"]["_id"]
+    worker = FaceEmbeddingWorker(ds, cfg, detector=FakeFaceAnalysis())
+    return cfg, ds, client, cid, worker
+
+
+def register(client, cid, emp_id, person_seed, jitters=(0.0, 0.1, 0.2)):
+    files = {pose: (f"{pose}.png", png(person_seed, j), "image/png")
+             for pose, j in zip(("center", "left", "right"), jitters)}
+    return client.post("/bharatlytics/v1/employees/register",
+                       data={"employeeId": emp_id, "employeeName": f"P{person_seed}",
+                             "companyId": cid}, files=files)
+
+
+def test_enrollment_happy_path(world):
+    cfg, ds, client, cid, worker = world
+    assert register(client, cid, "E1", person_seed=101).status_code == 200
+    n = worker.process_available_jobs()
+    assert n == 1  # only buffalo_l jobs match this worker's model
+    job = ds.embedding_jobs.find_one({"model": "buffalo_l"})
+    assert job["status"] == JobStatus.DONE.value
+    assert job["workerId"] == worker.worker_id
+    emp = ds.employee_info.find_one({"employeeId": "E1"})
+    entry = emp["employeeEmbeddings"]["buffalo_l"]
+    assert entry["status"] == "done"
+    assert not entry["corrupt"]
+    # embedding is the average of the three pose embeddings
+    import pickle
+
+    stored = pickle.loads(ds.employee_embeddings.get(entry["embeddingId"]).read())
+    expect = np.mean([fake_embedding(101, j) for j in (0.0, 0.1, 0.2)], axis=0)
+    np.testing.assert_allclose(stored, expect, atol=1e-5)
+
+
+def test_enrollment_different_persons_fails(world):
+    cfg, ds, client, cid, worker = world
+    # jitters far apart -> pairwise cos < 0.4 -> failed + status incomplete
+    register(client, cid, "E1", person_seed=55, jitters=(0.0, 1.3, 2.6))
+    worker.process_available_jobs()
+    job = ds.embedding_jobs.find_one({"model": "buffalo_l"})
+    assert job["status"] == JobStatus.FAILED.value
+    assert "Different persons" in job["error"]
+    emp = ds.employee_info.find_one({"employeeId": "E1"})
+    assert emp["status"] == "incomplete"
+
+
+def test_enrollment_duplicate_detection(world):
+    cfg, ds, client, cid, worker = world
+    register(client, cid, "E1", person_seed=7)
+    worker.process_available_jobs()
+    # same face, different employee id -> duplicate
+    register(client, cid, "E2", person_seed=7)
+    worker.process_available_jobs()
+    emp2 = ds.employee_info.find_one({"employeeId": "E2"})
+    assert emp2["status"] == "pending_duplicate_removal"
+    assert emp2["employeeEmbeddings"]["buffalo_l"]["status"] == "duplicate"
+    job = ds.embedding_jobs.find({"model": "buffalo_l"}).sort("createdAt", 1)[1]
+    assert job["status"] == JobStatus.DUPLICATE.value
+    # distinct person is not a duplicate
+    register(client, cid, "E3", person_seed=9000)
+    worker.process_available_jobs()
+    emp3 = ds.employee_info.find_one({"employeeId": "E3"})
+    assert emp3["employeeEmbeddings"]["buffalo_l"]["status"] == "done"
+
+
+def test_job_retry_then_terminal_failure(world):
+    cfg, ds, client, cid, worker = world
+    # job pointing at a missing document -> exception path
+    from facerecognition_infrenceengine_tpu.store import ObjectId
+
+    ds.embedding_jobs.insert_one({
+        "employeeId": ObjectId(), "companyId": ObjectId(),
+        "model": "buffalo_l", "status": "queued",
+        "createdAt": worker.stats["started_at"], "params": {}})
+    for expected_retry in (1, 2):
+        worker.process_available_jobs()
+        job = ds.embedding_jobs.find_one({})
+        assert job["status"] == JobStatus.QUEUED.value
+        assert job["retryCount"] == expected_retry
+    worker.process_available_jobs()
+    job = ds.embedding_jobs.find_one({})
+    assert job["status"] == JobStatus.FAILED.value
+
+
+def test_stuck_job_recovery(world):
+    cfg, ds, client, cid, worker = world
+    from facerecognition_infrenceengine_tpu.store import ObjectId
+
+    stale = (datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+             - datetime.timedelta(hours=2))
+    ds.embedding_jobs.insert_one({
+        "employeeId": ObjectId(), "companyId": ObjectId(),
+        "model": "buffalo_l", "status": "started", "startedAt": stale})
+    worker._recover_stuck_jobs()
+    job = ds.embedding_jobs.find_one({})
+    assert job["status"] == JobStatus.QUEUED.value
+    assert job["retryCount"] == 1
+    # exhaust retries
+    ds.embedding_jobs.update_one({}, {"$set": {"status": "started",
+                                               "startedAt": stale,
+                                               "retryCount": 3}})
+    worker._recover_stuck_jobs()
+    assert ds.embedding_jobs.find_one({})["status"] == JobStatus.FAILED.value
+
+
+def test_gallery_sync_and_match(world):
+    cfg, ds, client, cid, worker = world
+    register(client, cid, "E1", person_seed=42)
+    register(client, cid, "E2", person_seed=43)
+    worker.process_available_jobs()
+    gallery = GalleryManager(ds, cfg, mesh=None)
+    stats = gallery.get_stats()
+    assert stats["total_embeddings"] == 2
+    assert stats["employees"] == 2
+
+    # match a fresh capture of person 42
+    probe = fake_embedding(42, 0.05)
+    scores, ids, meta = gallery.match(probe[None], company_id=cid)
+    assert ids[0][0] is not None
+    assert meta[ids[0][0]]["employeeId"] == "E1"
+    assert scores[0][0] > 0.9
+
+    # delta sync picks up a later enrollment
+    register(client, cid, "E9", person_seed=99)
+    worker.process_available_jobs()
+    gallery.force_sync()
+    assert gallery.get_stats()["total_embeddings"] == 3
+    scores, ids, meta = gallery.match(fake_embedding(99)[None], company_id=cid)
+    assert meta[ids[0][0]]["employeeId"] == "E9"
+
+    # archiving removes from the gallery on next sync
+    client.delete("/bharatlytics/v1/employees/delete",
+                  json_body={"employeeId": "E9", "companyId": cid})
+    gallery.force_sync()
+    assert gallery.get_stats()["total_embeddings"] == 2
+
+
+def test_gallery_company_isolation(world):
+    cfg, ds, client, cid, worker = world
+    register(client, cid, "E1", person_seed=1)
+    worker.process_available_jobs()
+    gallery = GalleryManager(ds, cfg)
+    other_company = "0" * 24
+    scores, ids, meta = gallery.match(fake_embedding(1)[None],
+                                      company_id=other_company)
+    assert ids[0][0] is None
+
+
+def test_two_workers_do_not_double_process(world):
+    cfg, ds, client, cid, worker = world
+    for i in range(4):
+        register(client, cid, f"E{i}", person_seed=200 + i)
+    w2 = FaceEmbeddingWorker(ds, cfg, detector=FakeFaceAnalysis(),
+                             worker_id="w2")
+    import threading
+
+    counts = {}
+
+    def run(w, key):
+        counts[key] = w.process_available_jobs()
+
+    t1 = threading.Thread(target=run, args=(worker, "a"))
+    t2 = threading.Thread(target=run, args=(w2, "b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    done = ds.embedding_jobs.count_documents({"model": "buffalo_l",
+                                              "status": "done"})
+    assert done == 4
+    # every done job has exactly one owner
+    owners = [j["workerId"] for j in ds.embedding_jobs.find(
+        {"model": "buffalo_l"})]
+    assert len(owners) == 4
