@@ -1,0 +1,114 @@
+"""Dynamic micro-batcher: many camera streams, one device pipeline.
+
+The reference gives each camera its own OS process + ONNX session
+(reference infrenceServer.py:565-679) — the right shape for a CPU/GPU box,
+wrong for a TPU, where one jitted program wants dense batches.  Here every
+camera thread submits frames to a single batcher; a dispatch thread drains
+the queue, pads to the bucketed batch shape, runs ONE ``get_batch`` on the
+device, and resolves per-frame futures.
+
+Backpressure matches the reference's drop-on-full semantics
+(infrenceServer.py:594-598): each source key has a bounded slot (depth from
+EngineConfig.frame_queue_depth); a newer frame replaces a stale undispatched
+one rather than queueing behind it.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict
+
+from ..core.config import EngineConfig, get_config
+
+
+class MicroBatcher:
+    def __init__(self, face_app, cfg: EngineConfig | None = None):
+        """face_app: anything with get_batch(frames) -> list[list[Face]]."""
+        self.face_app = face_app
+        self.cfg = cfg or get_config().engine
+        self._lock = threading.Lock()
+        self._slots: Dict[Any, list] = {}  # source -> [(frame, future), ...]
+        self._wakeup = threading.Event()
+        self.running = False
+        self._thread = None
+        self.stats = {"dispatches": 0, "frames": 0, "dropped": 0}
+
+    def start(self):
+        if self.running:
+            return
+        self.running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self.running = False
+        self._wakeup.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def submit(self, source: Any, frame) -> Future:
+        """Queue one frame; returns a Future resolving to list[Face].
+
+        If the per-source slot is full, the OLDEST queued frame is dropped
+        (its future gets an empty result) — a live stream must never back up.
+        """
+        future: Future = Future()
+        with self._lock:
+            slot = self._slots.setdefault(source, [])
+            while len(slot) >= self.cfg.frame_queue_depth:
+                _, stale = slot.pop(0)
+                stale.set_result([])
+                self.stats["dropped"] += 1
+            slot.append((frame, future))
+        self._wakeup.set()
+        return future
+
+    def process(self, frame) -> list:
+        """Synchronous convenience: submit + wait."""
+        return self.submit(object(), frame).result()
+
+    def _drain(self) -> list:
+        with self._lock:
+            batch = []
+            # round-robin across sources for fairness
+            progressed = True
+            while progressed and len(batch) < self.cfg.microbatch_max:
+                progressed = False
+                for slot in self._slots.values():
+                    if slot and len(batch) < self.cfg.microbatch_max:
+                        batch.append(slot.pop(0))
+                        progressed = True
+            return batch
+
+    def _loop(self):
+        window_s = self.cfg.microbatch_window_ms / 1000.0
+        while self.running:
+            self._wakeup.wait(timeout=0.05)
+            self._wakeup.clear()
+            if not self.running:
+                break
+            # small batching window: let concurrent cameras pile in
+            deadline = time.perf_counter() + window_s
+            while time.perf_counter() < deadline:
+                with self._lock:
+                    pending = sum(len(s) for s in self._slots.values())
+                if pending >= self.cfg.microbatch_max:
+                    break
+                time.sleep(window_s / 4)
+            batch = self._drain()
+            if not batch:
+                continue
+            frames = [f for f, _ in batch]
+            futures = [fut for _, fut in batch]
+            try:
+                results = self.face_app.get_batch(frames)
+            except Exception as e:  # propagate to every waiter
+                for fut in futures:
+                    fut.set_exception(e)
+                continue
+            self.stats["dispatches"] += 1
+            self.stats["frames"] += len(frames)
+            for fut, faces in zip(futures, results):
+                fut.set_result(faces)

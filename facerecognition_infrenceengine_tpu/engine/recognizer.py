@@ -1,0 +1,148 @@
+"""Live recognition processor with HUD overlay.
+
+Re-implements the reference's ``FaceRecognitionProcessor``
+(reference infrenceServer.py:400-563): detect faces, match against the
+company gallery, draw the HUD (semi-transparent box, corner markers, D/R
+confidence bars, info panel).  Matching goes through the GalleryManager's
+device matmul on all faces of the frame at once instead of the per-face
+Python scan (infrenceServer.py:538-542).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..core.config import Config, get_config
+from .gallery import GalleryManager
+
+logger = logging.getLogger("fre.recognizer")
+
+GREEN = (0, 255, 0)
+YELLOW = (0, 255, 255)
+RED = (0, 0, 255)
+
+
+def draw_enhanced_bounding_box(frame, bbox, color, person_info, detection_score,
+                               recognition_score):
+    """HUD drawing (reference infrenceServer.py:418-513)."""
+    import cv2
+
+    overlay = frame.copy()
+    x1, y1, x2, y2 = (int(v) for v in bbox)
+    cv2.rectangle(overlay, (x1, y1), (x2, y2), color, 2, cv2.LINE_AA)
+    cv2.addWeighted(overlay, 0.4, frame, 0.6, 0, frame)
+
+    corner = 15
+    for cx, cy in ((x1, y1), (x2, y1), (x1, y2), (x2, y2)):
+        cv2.line(frame, (cx, cy), (cx + corner, cy), color, 3)
+        cv2.line(frame, (cx, cy), (cx, cy + corner), color, 3)
+        cv2.line(frame, (cx + corner, cy), (cx, cy + corner), color, 3)
+
+    # D/R confidence bars
+    bar_x, bar_w = x2 + 10, 6
+    bar_h = y2 - y1
+    det_h = int(bar_h * min(detection_score, 1.0))
+    cv2.rectangle(frame, (bar_x, y1), (bar_x + bar_w, y2), (100, 100, 100), 1)
+    cv2.rectangle(frame, (bar_x, y2 - det_h), (bar_x + bar_w, y2), (255, 140, 0), -1)
+    cv2.putText(frame, "D", (bar_x - 2, y1 - 5), cv2.FONT_HERSHEY_SIMPLEX, 0.3,
+                (255, 255, 255), 1)
+    rec_h = int(bar_h * min(recognition_score, 1.0))
+    cv2.rectangle(frame, (bar_x + 12, y1), (bar_x + 12 + bar_w, y2), (100, 100, 100), 1)
+    cv2.rectangle(frame, (bar_x + 12, y2 - rec_h), (bar_x + 12 + bar_w, y2), color, -1)
+    cv2.putText(frame, "R", (bar_x + 10, y1 - 5), cv2.FONT_HERSHEY_SIMPLEX, 0.3,
+                (255, 255, 255), 1)
+
+    if person_info["type"] == "employee":
+        info_lines = [f"Name: {person_info['name']}",
+                      f"ID: {person_info['employeeId']}",
+                      "Type: Employee",
+                      f"Score: {recognition_score:.2f}"]
+    elif person_info["type"] == "visitor":
+        info_lines = [f"Name: {person_info['name']}",
+                      "Type: Visitor",
+                      f"Score: {recognition_score:.2f}"]
+    else:
+        info_lines = ["Unknown Person", f"Detection: {detection_score:.2f}"]
+
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    sizes = [cv2.getTextSize(line, font, 0.45, 1)[0] for line in info_lines]
+    panel_w = max(s[0] for s in sizes) + 20
+    panel_h = len(info_lines) * 18 + 10
+    panel_x = max(0, min(x1, frame.shape[1] - panel_w))
+    panel_y = max(0, y2 + 10)
+    if panel_y + panel_h > frame.shape[0]:
+        panel_y = max(0, y1 - panel_h - 10)
+    panel = frame.copy()
+    import cv2 as _cv2
+
+    _cv2.rectangle(panel, (panel_x, panel_y), (panel_x + panel_w, panel_y + panel_h),
+                   (30, 30, 30), -1)
+    _cv2.addWeighted(panel, 0.8, frame, 0.2, 0, frame)
+    _cv2.rectangle(frame, (panel_x, panel_y), (panel_x + panel_w, panel_y + panel_h),
+                   color, 1)
+    for i, line in enumerate(info_lines):
+        _cv2.putText(frame, line, (panel_x + 10, panel_y + 15 + i * 18), font, 0.45,
+                     (255, 255, 255), 1)
+    return frame
+
+
+class FaceRecognitionProcessor:
+    def __init__(self, gallery: GalleryManager, face_app=None,
+                 cfg: Config | None = None):
+        cfg = cfg or get_config()
+        self.gallery = gallery
+        self.face_app = face_app
+        self.detection_threshold = cfg.thresholds.detection
+        self.recognition_threshold = cfg.thresholds.recognition
+
+    def _ensure_app(self):
+        if self.face_app is None:
+            from ..models.zoo import FaceAnalysis
+
+            self.face_app = FaceAnalysis()
+            self.face_app.prepare(ctx_id=0, det_thresh=self.detection_threshold)
+        return self.face_app
+
+    def recognize_faces(self, frame: np.ndarray, company_id: str,
+                        draw: bool = True):
+        """Detect + match all faces of one frame; optionally draw the HUD.
+
+        Returns (frame, results) where results is a list of dicts with
+        bbox/person_info/scores — the reference only returns the drawn frame
+        (infrenceServer.py:515-563); the structured results feed tests and
+        the counting pipeline."""
+        app = self._ensure_app()
+        faces = app.get(frame)
+        results = []
+        if not faces:
+            return frame, results
+        embs = np.stack([f.normed_embedding for f in faces])
+        # defensive renormalize, mirroring infrenceServer.py:532
+        embs = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+        scores, ids, metadata = self.gallery.match(embs, company_id=company_id)
+        for face, score_row, id_row in zip(faces, scores, ids):
+            best_score = float(score_row[0])
+            best_id = id_row[0]
+            if best_id is not None and best_score >= self.recognition_threshold:
+                person_info = metadata[best_id]
+                color = GREEN if person_info["type"] == "employee" else YELLOW
+                recognition_score = best_score
+            else:
+                person_info = {"name": "Unknown", "type": "unknown"}
+                color = RED
+                recognition_score = 0.0
+            results.append({
+                "bbox": face.bbox.astype(int).tolist(),
+                "det_score": face.det_score,
+                "person_id": best_id if recognition_score else None,
+                "person_info": person_info,
+                "similarity": best_score,
+                "recognized": bool(recognition_score),
+            })
+            if draw:
+                frame = draw_enhanced_bounding_box(
+                    frame, face.bbox.astype(int), color, person_info,
+                    face.det_score, recognition_score)
+        return frame, results

@@ -1,0 +1,104 @@
+"""Live recognition server (the reference's ``infrenceServer.py``).
+
+Control API (reference infrenceServer.py:685-724): /api/embeddings/stats,
+/api/embeddings/sync, /api/camera/start, /api/camera/stop; SIGINT/SIGTERM
+drain (:726-731).  The data plane is the camera manager + micro-batcher;
+the reference's hardcoded camera list and company id (:742-744) become CLI
+flags.
+
+Run: python -m facerecognition_infrenceengine_tpu.servers.inference_server
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+from ..core.config import get_config
+from ..core.logging import setup_logging
+from ..domain.cameras import CameraManager
+from ..engine.gallery import GalleryManager
+from ..store.client import get_datastore
+from ..store.indexes import init_db
+from ..web import App, jsonify, request
+
+
+def build_app(gallery: GalleryManager, camera_manager: CameraManager) -> App:
+    app = App("inference-server")
+
+    @app.route("/api/embeddings/stats", methods=["GET"])
+    def get_embedding_stats():
+        return jsonify(gallery.get_stats())
+
+    @app.route("/api/embeddings/sync", methods=["POST"])
+    def force_sync():
+        try:
+            gallery.force_sync()
+            return jsonify({"status": "success", "message": "Sync completed"})
+        except Exception as e:
+            return jsonify({"status": "error", "message": str(e)}), 500
+
+    @app.route("/api/camera/start", methods=["POST"])
+    def start_camera():
+        data = request.get_json(silent=True) or {}
+        sources = data.get("sources", [0])
+        company_id = data.get("company_id")
+        if not company_id:
+            return jsonify({"status": "error", "message": "Company ID required"}), 400
+        try:
+            camera_manager.start_cameras(sources, company_id)
+            return jsonify({"status": "success", "message": "Camera started"})
+        except Exception as e:
+            return jsonify({"status": "error", "message": str(e)}), 500
+
+    @app.route("/api/camera/stop", methods=["POST"])
+    def stop_camera():
+        try:
+            camera_manager.stop_cameras()
+            return jsonify({"status": "success", "message": "Camera stopped"})
+        except Exception as e:
+            return jsonify({"status": "error", "message": str(e)}), 500
+
+    return app
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU face recognition server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5002)
+    parser.add_argument("--company-id", default=None)
+    parser.add_argument("--sources", nargs="*", default=[],
+                        help="camera indices or RTSP URLs")
+    parser.add_argument("--display", action="store_true")
+    args = parser.parse_args(argv)
+
+    logger = setup_logging("fre.inference", logfile="face_recognition.log")
+    cfg = get_config()
+    ds = get_datastore(cfg)
+    init_db(ds)
+
+    gallery = GalleryManager(ds, cfg, sync_interval_s=cfg.sync.inference_sync_s)
+    gallery.start_sync()
+    camera_manager = CameraManager(gallery, cfg=cfg, display=args.display)
+
+    def shutdown(signum, frame):
+        logger.info("Shutting down gracefully...")
+        camera_manager.stop_cameras()
+        gallery.stop_sync()
+        sys.exit(0)
+
+    signal.signal(signal.SIGINT, shutdown)
+    signal.signal(signal.SIGTERM, shutdown)
+
+    if args.sources and args.company_id:
+        sources = [int(s) if s.isdigit() else s for s in args.sources]
+        camera_manager.start_cameras(sources, args.company_id)
+
+    app = build_app(gallery, camera_manager)
+    logger.info("Inference control API on %s:%d", args.host, args.port)
+    app.run(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,9 +67,9 @@ class Datastore:
 
         # peopleCount collections (reference peopleCount.py:217-220)
         self.people_status = self.db["people_status"]
-        self.entry_exit_events = self.db["entry_exit_events"]
-        self.unknown_persons = self.db["unknown_persons"]
+        self.campus_events = self.db["campus_events"]
         self.campus_analytics = self.db["campus_analytics"]
+        self.unknown_detections = self.db["unknown_detections"]
 
 
 def get_datastore(cfg: Config | None = None, fresh: bool = False) -> Datastore:

@@ -1,0 +1,227 @@
+"""Campus entry/exit state machine, unknown clustering, batching, counting
+pipeline with the fake detector, and the micro-batcher."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from facerecognition_infrenceengine_tpu.core.config import Config
+from facerecognition_infrenceengine_tpu.domain.campus import (
+    CameraType,
+    CampusPeopleManager,
+    PersonStatus,
+)
+from facerecognition_infrenceengine_tpu.domain.counting import CountingProcessor
+from facerecognition_infrenceengine_tpu.engine.microbatch import MicroBatcher
+from facerecognition_infrenceengine_tpu.models.zoo import (
+    FakeFaceAnalysis,
+    encode_fake_face,
+    fake_embedding,
+)
+from facerecognition_infrenceengine_tpu.store import Datastore
+
+
+def ts(seconds: float) -> datetime.datetime:
+    return datetime.datetime(2026, 8, 16, 9, 0, 0) + datetime.timedelta(
+        seconds=seconds)
+
+
+@pytest.fixture
+def manager():
+    cfg = Config()
+    ds = Datastore(cfg)
+    m = CampusPeopleManager(ds, cfg, start_background=False)
+    m.register_camera("cam_in", "campusA", CameraType.ENTRY)
+    m.register_camera("cam_out", "campusA", CameraType.EXIT)
+    return m
+
+
+META = {"name": "Asha", "type": "employee", "employeeId": "E1"}
+
+
+def test_entry_requires_debounce(manager):
+    # first detection starts tracking; second <2s later does not confirm
+    manager.process_detection("p1", META, "cam_in", ts(0), 0.8)
+    manager.process_detection("p1", META, "cam_in", ts(1.0), 0.8)
+    assert manager.people_states["p1"].status == PersonStatus.OUTSIDE
+    # second detection >=2s later confirms
+    manager.process_detection("p1", META, "cam_in", ts(2.5), 0.8)
+    assert manager.people_states["p1"].status == PersonStatus.INSIDE
+    status = manager.get_campus_status("campusA")
+    assert status["current_inside"] == 1
+    assert status["employees_inside"] == 1
+    assert status["total_entries_today"] == 1
+
+
+def test_pending_detection_expires(manager):
+    manager.process_detection("p1", META, "cam_in", ts(0), 0.8)
+    state = manager.people_states["p1"]
+    # expire (>5s) then cleanup
+    state.clear_stale_detections(ts(6))
+    assert state.pending_entry_detection is None
+    # a detection 7s after the first should start a NEW pending, not confirm
+    manager.process_detection("p1", META, "cam_in", ts(7), 0.8)
+    assert state.status == PersonStatus.OUTSIDE
+
+
+def test_full_entry_exit_cycle_and_events(manager):
+    manager.process_detection("p1", META, "cam_in", ts(0), 0.9)
+    manager.process_detection("p1", META, "cam_in", ts(2.5), 0.9)
+    assert manager.people_states["p1"].status == PersonStatus.INSIDE
+    # exit needs its own two detections on the exit camera
+    manager.process_detection("p1", META, "cam_out", ts(100), 0.85)
+    manager.process_detection("p1", META, "cam_out", ts(103), 0.85)
+    assert manager.people_states["p1"].status == PersonStatus.OUTSIDE
+    status = manager.get_campus_status("campusA")
+    assert status["current_inside"] == 0
+    assert status["total_exits_today"] == 1
+    # events and state were queued; flush persists them
+    manager.flush()
+    events = list(manager.ds.campus_events.find({}).sort("timestamp", 1))
+    assert [e["event_type"] for e in events] == ["entry", "exit"]
+    persisted = manager.ds.people_status.find_one({"person_id": "p1"})
+    assert persisted["status"] == "outside"
+    assert persisted["total_entries_today"] == 1
+
+
+def test_entry_while_inside_is_ignored(manager):
+    manager.process_detection("p1", META, "cam_in", ts(0), 0.9)
+    manager.process_detection("p1", META, "cam_in", ts(3), 0.9)
+    # more entry detections while inside do nothing
+    manager.process_detection("p1", META, "cam_in", ts(10), 0.9)
+    manager.process_detection("p1", META, "cam_in", ts(13), 0.9)
+    assert manager.get_campus_status("campusA")["total_entries_today"] == 1
+
+
+def test_state_reload_after_restart(manager):
+    manager.process_detection("p1", META, "cam_in", ts(0), 0.9)
+    manager.process_detection("p1", META, "cam_in", ts(3), 0.9)
+    manager.flush()
+    # new manager over the same store rebuilds in-memory state
+    m2 = CampusPeopleManager(manager.ds, start_background=False)
+    assert m2.get_campus_status("campusA")["current_inside"] == 1
+    assert m2.people_states["p1"].status == PersonStatus.INSIDE
+
+
+def test_unknown_clustering(manager):
+    e1 = fake_embedding(500)
+    # 3 detections of the same stranger -> one cluster
+    for i in range(3):
+        manager.process_unknown_detection("cam_in", ts(i), e1, [10, 10, 50, 50])
+    assert len(manager.unknown_people["campusA"]) == 1
+    cluster = next(iter(manager.unknown_people["campusA"].values()))
+    assert cluster.detection_count == 3
+    # a different stranger makes a second cluster
+    manager.process_unknown_detection("cam_in", ts(10), fake_embedding(777),
+                                      [10, 10, 50, 50])
+    assert len(manager.unknown_people["campusA"]) == 2
+    status = manager.get_campus_status("campusA")
+    assert status["unknown_detections_today"] == 4
+    assert status["unique_unknowns_today"] == 2
+    manager.flush()
+    assert manager.ds.unknown_detections.count_documents({}) == 4
+
+
+def test_unknown_running_mean_window(manager):
+    base = fake_embedding(31)
+    for i in range(15):
+        manager.process_unknown_detection("cam_in", ts(i), base, [0, 0, 1, 1])
+    cluster = next(iter(manager.unknown_people["campusA"].values()))
+    assert len(cluster.embeddings) == 10  # deque(maxlen=10)
+    assert cluster.detection_count == 15
+
+
+def test_analytics_rollup(manager):
+    manager.process_detection("p1", META, "cam_in", ts(0), 0.9)
+    manager.process_detection("p1", META, "cam_in", ts(3), 0.9)
+    manager.update_analytics()
+    doc = manager.ds.campus_analytics.find_one({"campus_id": "campusA"})
+    assert doc["current_inside"] == 1
+    assert doc["total_entries"] == 1
+    # idempotent upsert per (campus, date)
+    manager.update_analytics()
+    assert manager.ds.campus_analytics.count_documents({}) == 1
+
+
+class _StubGallery:
+    """Gallery stub: person seeds 1..3 enrolled."""
+
+    def __init__(self):
+        self.ids = [f"person{i}" for i in (1, 2, 3)]
+        self.matrix = np.stack([fake_embedding(i) for i in (1, 2, 3)])
+        self.metadata = {pid: {"name": pid, "type": "employee",
+                               "employeeId": pid} for pid in self.ids}
+
+    def get_stats(self):
+        return {"total_embeddings": len(self.ids)}
+
+    def match(self, q, company_id=None, k=1):
+        scores = self.matrix @ q.T  # [N, B]
+        best = scores.argmax(axis=0)
+        vals = scores[best, np.arange(q.shape[0])][:, None]
+        ids = [[self.ids[i]] for i in best]
+        return vals, ids, self.metadata
+
+
+def test_counting_processor_routes_detections(manager):
+    gallery = _StubGallery()
+    proc = CountingProcessor(gallery, manager, face_app=FakeFaceAnalysis())
+    # a frame with enrolled person 1 -> recognized
+    frame = encode_fake_face(1, 0.0)
+    stats = proc.process_frame(frame, "cam_in")
+    assert stats == {"faces": 1, "recognized": 1, "unknown": 0}
+    # a stranger (seed 999, cos ~0 vs gallery) -> unknown clustering
+    frame = encode_fake_face(999, 0.0)
+    stats = proc.process_frame(frame, "cam_in")
+    assert stats == {"faces": 1, "recognized": 0, "unknown": 1}
+    assert len(manager.unknown_people["campusA"]) == 1
+
+
+def test_microbatcher_batches_and_preserves_order():
+    calls = []
+
+    class App:
+        def get_batch(self, frames):
+            calls.append(len(frames))
+            return [[f"face_of_{np.asarray(f)[0,0,0]}"] for f in frames]
+
+    cfg = Config().engine
+    batcher = MicroBatcher(App(), cfg)
+    batcher.start()
+    try:
+        frames = [np.full((2, 8, 3), i, np.uint8) for i in range(6)]
+        futures = [batcher.submit(f"cam{i%3}", f) for i, f in enumerate(frames)]
+        results = [f.result(timeout=5) for f in futures]
+        assert [r[0] for r in results] == [f"face_of_{i}" for i in range(6)]
+        assert batcher.stats["frames"] == 6
+        assert batcher.stats["dispatches"] <= 6  # some batching happened
+    finally:
+        batcher.stop()
+
+
+def test_microbatcher_drops_stale_frames():
+    import threading
+
+    release = threading.Event()
+
+    class SlowApp:
+        def get_batch(self, frames):
+            release.wait(timeout=5)
+            return [[] for _ in frames]
+
+    cfg = Config().engine  # frame_queue_depth = 2
+    batcher = MicroBatcher(SlowApp(), cfg)
+    batcher.start()
+    try:
+        futs = [batcher.submit("cam0", np.zeros((2, 8, 3), np.uint8))
+                for _ in range(8)]
+        import time
+
+        time.sleep(0.3)  # let the dispatcher grab some, queue the rest
+        release.set()
+        done = [f.result(timeout=5) for f in futs]
+        assert batcher.stats["dropped"] > 0
+        assert len(done) == 8  # every future resolves (dropped ones -> [])
+    finally:
+        batcher.stop()
