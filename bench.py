@@ -8,6 +8,14 @@ The measured program is the production fused path: SCRFD-10G at 640x640 +
 NMS + batched 5-pt alignment + ArcFace-R50 embedding, bf16, static
 [B, max_faces] capacity.  faces/sec counts embedded face slots actually
 flowing through the MXU (B * max_faces per dispatch).
+
+Measurement method (important on tunneled/async runtimes): the whole
+N-iteration loop runs ON DEVICE inside one jitted ``lax.fori_loop`` whose
+body perturbs the input frames per iteration (defeats any dispatch
+memoization) and folds every output into a scalar accumulator that is read
+back to the host once (forces real execution; dead-code elimination cannot
+skip the pipeline).  Per-iteration time is the slope between an N1-iter and
+an N2-iter run, which cancels dispatch + host round-trip overhead exactly.
 """
 
 import json
@@ -24,9 +32,71 @@ import numpy as np
 BASELINE_FACES_PER_SEC = 5000.0
 
 
+def device_loop_time(build_body, n1=4, n2=20, reps=3):
+    """Seconds per iteration of body, measured on device via fori_loop slope.
+
+    build_body(n) -> a zero-arg host callable that runs n iterations on
+    device and returns a host scalar (forcing completion).
+    """
+    run1, run2 = build_body(n1), build_body(n2)
+    run1()  # compile
+    run2()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run1()
+        t1 = time.perf_counter()
+        run2()
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return best
+
+
+def fused_loop_builder(engine, frames, det_threshold=0.3):
+    det_vars, rec_vars = engine.det_variables, engine.rec_variables
+
+    def build(n):
+        def body(i, acc):
+            f = jnp.bitwise_xor(frames, (i % 251).astype(jnp.uint8))
+            boxes, scores, kps, valid, emb = engine._fused_impl(
+                det_vars, rec_vars, f, jnp.float32(det_threshold)
+            )
+            return acc + jnp.float32(emb.sum()) + scores.sum() + boxes.sum()
+
+        fn = jax.jit(lambda fr: jax.lax.fori_loop(0, n, body, jnp.float32(0.0)))
+
+        def run():
+            return float(fn(frames))
+
+        return run
+
+    return build
+
+
+def gallery_loop_builder(queries, gallery, valid):
+    """Gallery top-1 match (the per-frame hot loop the reference does in python)."""
+    from facerecognition_infrenceengine_tpu.ops.matching import cosine_topk
+
+    def build(n):
+        def body(i, acc):
+            q = queries + (i.astype(jnp.float32) * 1e-6)
+            vals, idx = cosine_topk(q, gallery, valid, k=1)
+            return acc + vals.sum() + idx.sum().astype(jnp.float32)
+
+        fn = jax.jit(lambda q: jax.lax.fori_loop(0, n, body, jnp.float32(0.0)))
+
+        def run():
+            return float(fn(queries))
+
+        return run
+
+    return build
+
+
 def main():
     from facerecognition_infrenceengine_tpu.core.config import EngineConfig
     from facerecognition_infrenceengine_tpu.engine import FaceEngine
+    from facerecognition_infrenceengine_tpu.ops.matching import l2_normalize
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     max_faces = int(os.environ.get("BENCH_MAX_FACES", "16"))
@@ -37,20 +107,23 @@ def main():
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8))
 
-    # Warm up / compile.
-    out = engine.detect_align_embed(frames)
-    jax.block_until_ready(out)
+    # Throughput: faces/sec through the full fused program at batch B.
+    it_s = device_loop_time(fused_loop_builder(engine, frames))
+    faces_per_sec = batch * max_faces / it_s
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = engine.detect_align_embed(frames)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # Latency: device time for one B=1 fused dispatch (p50 path, no queueing).
+    frames1 = frames[:1]
+    lat_s = device_loop_time(fused_loop_builder(engine, frames1), n1=4, n2=20)
+    frame_ms = lat_s * 1000.0
 
-    faces = batch * max_faces * iters
-    faces_per_sec = faces / dt
-    frame_ms = dt / (batch * iters) * 1000.0
+    # Gallery QPS: 16 queries vs a 100k-identity gallery, top-1.
+    n_ids = int(os.environ.get("BENCH_GALLERY", "100000"))
+    gal = l2_normalize(jnp.asarray(
+        rng.normal(size=(n_ids, 512)).astype(np.float32)))
+    q = gal[:16]
+    valid = jnp.ones((n_ids,), bool)
+    g_s = device_loop_time(gallery_loop_builder(q, gal, valid), n1=4, n2=24)
+    gallery_qps = 16 / g_s
 
     result = {
         "metric": "faces_per_sec_per_chip",
@@ -60,7 +133,9 @@ def main():
         "extra": {
             "batch": batch,
             "max_faces": max_faces,
-            "frame_latency_ms": round(frame_ms, 3),
+            "fused_iter_ms": round(it_s * 1000.0, 3),
+            "frame_latency_b1_ms": round(frame_ms, 3),
+            "gallery_qps_100k": round(gallery_qps, 1),
             "device": str(jax.devices()[0]),
         },
     }

@@ -23,6 +23,7 @@ def create_app(ds: Datastore | None = None, cfg: Config | None = None,
     if initialize:
         init_db(ds)
 
+    from ..web.ui import make_ui_bp
     from .company import make_company_bp
     from .employee import make_employee_bp
     from .entity import make_entity_bp
@@ -34,6 +35,7 @@ def create_app(ds: Datastore | None = None, cfg: Config | None = None,
     app.register_blueprint(make_visitor_bp(ds, cfg), url_prefix=f"{prefix}/visitors")
     app.register_blueprint(make_company_bp(ds, cfg), url_prefix=f"{prefix}/companies")
     app.register_blueprint(make_entity_bp(ds, cfg), url_prefix=prefix)
+    app.register_blueprint(make_ui_bp(), url_prefix="/ui")
 
     @app.route(f"{prefix}/health", methods=["GET"])
     def health():
