@@ -99,11 +99,16 @@ class FaceEmbeddingWorker:
     # ---------------------------------------------------------- primitives
     def _process_image(self, image_id, image_fs, position: str):
         """One pose image -> embedding or None (trainingServer.py:216-247)."""
-        import cv2
+        from .. import native
 
         try:
             data = image_fs.get(ObjectId(str(image_id))).read()
-            image = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+            image = native.decode_image(data)
+            if image is not None:
+                # FaceAnalysis.get takes cv2-convention BGR frames (the
+                # reference feeds cv2.imdecode output straight in,
+                # trainingServer.py:221-227); the native codec yields RGB.
+                image = np.ascontiguousarray(image[..., ::-1])
             if image is None:
                 logger.warning("Failed to decode image %s", image_id)
                 return None

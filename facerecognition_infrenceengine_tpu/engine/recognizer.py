@@ -26,34 +26,36 @@ RED = (0, 0, 255)
 
 def draw_enhanced_bounding_box(frame, bbox, color, person_info, detection_score,
                                recognition_score):
-    """HUD drawing (reference infrenceServer.py:418-513)."""
-    import cv2
+    """HUD drawing (reference infrenceServer.py:418-513).
 
-    overlay = frame.copy()
+    Same visual language as the reference — translucent box, bracketed
+    corner markers, vertical D/R confidence bars, translucent info panel —
+    rendered by the framework's own native rasterizer (native/imagecodec.cc)
+    instead of OpenCV."""
+    from .. import native
+
+    frame = np.ascontiguousarray(frame)
+    h, w = frame.shape[:2]
     x1, y1, x2, y2 = (int(v) for v in bbox)
-    cv2.rectangle(overlay, (x1, y1), (x2, y2), color, 2, cv2.LINE_AA)
-    cv2.addWeighted(overlay, 0.4, frame, 0.6, 0, frame)
 
-    corner = 15
-    for cx, cy in ((x1, y1), (x2, y1), (x1, y2), (x2, y2)):
-        cv2.line(frame, (cx, cy), (cx + corner, cy), color, 3)
-        cv2.line(frame, (cx, cy), (cx, cy + corner), color, 3)
-        cv2.line(frame, (cx + corner, cy), (cx, cy + corner), color, 3)
+    # translucent body + corner brackets (reference :430-447)
+    native.fill_rect(frame, y1, x1, y2, x2, color, alpha=0.15)
+    native.draw_rect(frame, y1, x1, y2, x2, color, thick=1)
+    native.draw_corners(frame, y1, x1, y2, x2, color, length=15, thick=3)
 
-    # D/R confidence bars
+    # vertical D/R confidence bars (reference :449-470)
     bar_x, bar_w = x2 + 10, 6
-    bar_h = y2 - y1
-    det_h = int(bar_h * min(detection_score, 1.0))
-    cv2.rectangle(frame, (bar_x, y1), (bar_x + bar_w, y2), (100, 100, 100), 1)
-    cv2.rectangle(frame, (bar_x, y2 - det_h), (bar_x + bar_w, y2), (255, 140, 0), -1)
-    cv2.putText(frame, "D", (bar_x - 2, y1 - 5), cv2.FONT_HERSHEY_SIMPLEX, 0.3,
-                (255, 255, 255), 1)
-    rec_h = int(bar_h * min(recognition_score, 1.0))
-    cv2.rectangle(frame, (bar_x + 12, y1), (bar_x + 12 + bar_w, y2), (100, 100, 100), 1)
-    cv2.rectangle(frame, (bar_x + 12, y2 - rec_h), (bar_x + 12 + bar_w, y2), color, -1)
-    cv2.putText(frame, "R", (bar_x + 10, y1 - 5), cv2.FONT_HERSHEY_SIMPLEX, 0.3,
-                (255, 255, 255), 1)
+    det_h = int((y2 - y1) * min(float(detection_score), 1.0))
+    native.draw_rect(frame, y1, bar_x, y2, bar_x + bar_w, (100, 100, 100), 1)
+    native.fill_rect(frame, y2 - det_h, bar_x, y2, bar_x + bar_w, (255, 140, 0))
+    native.draw_text(frame, max(0, y1 - 10), max(0, bar_x - 2), "D", (255, 255, 255))
+    rec_h = int((y2 - y1) * min(float(recognition_score), 1.0))
+    native.draw_rect(frame, y1, bar_x + 12, y2, bar_x + 12 + bar_w,
+                     (100, 100, 100), 1)
+    native.fill_rect(frame, y2 - rec_h, bar_x + 12, y2, bar_x + 12 + bar_w, color)
+    native.draw_text(frame, max(0, y1 - 10), bar_x + 10, "R", (255, 255, 255))
 
+    # info panel (reference :472-513)
     if person_info["type"] == "employee":
         info_lines = [f"Name: {person_info['name']}",
                       f"ID: {person_info['employeeId']}",
@@ -66,25 +68,20 @@ def draw_enhanced_bounding_box(frame, bbox, color, person_info, detection_score,
     else:
         info_lines = ["Unknown Person", f"Detection: {detection_score:.2f}"]
 
-    font = cv2.FONT_HERSHEY_SIMPLEX
-    sizes = [cv2.getTextSize(line, font, 0.45, 1)[0] for line in info_lines]
-    panel_w = max(s[0] for s in sizes) + 20
-    panel_h = len(info_lines) * 18 + 10
-    panel_x = max(0, min(x1, frame.shape[1] - panel_w))
+    char_w = 6  # 5x7 font + 1px spacing at scale 1
+    panel_w = max(len(line) for line in info_lines) * char_w + 20
+    panel_h = len(info_lines) * 12 + 10
+    panel_x = max(0, min(x1, w - panel_w))
     panel_y = max(0, y2 + 10)
-    if panel_y + panel_h > frame.shape[0]:
+    if panel_y + panel_h > h:
         panel_y = max(0, y1 - panel_h - 10)
-    panel = frame.copy()
-    import cv2 as _cv2
-
-    _cv2.rectangle(panel, (panel_x, panel_y), (panel_x + panel_w, panel_y + panel_h),
-                   (30, 30, 30), -1)
-    _cv2.addWeighted(panel, 0.8, frame, 0.2, 0, frame)
-    _cv2.rectangle(frame, (panel_x, panel_y), (panel_x + panel_w, panel_y + panel_h),
-                   color, 1)
+    native.fill_rect(frame, panel_y, panel_x, panel_y + panel_h,
+                     panel_x + panel_w, (30, 30, 30), alpha=0.8)
+    native.draw_rect(frame, panel_y, panel_x, panel_y + panel_h,
+                     panel_x + panel_w, color, 1)
     for i, line in enumerate(info_lines):
-        _cv2.putText(frame, line, (panel_x + 10, panel_y + 15 + i * 18), font, 0.45,
-                     (255, 255, 255), 1)
+        native.draw_text(frame, panel_y + 6 + i * 12, panel_x + 10, line,
+                         (255, 255, 255))
     return frame
 
 
