@@ -22,16 +22,16 @@ axis-aligned hat for |rotation| < ~30 deg (test_ops_warp2pass.py quantifies).
 
 Faces larger than the static ROI window sample from an average-pool pyramid
 level chosen per face, so arbitrary face scales keep one compiled shape.
-Host-side speed: ~100x faster than the gather warp for a 128-face batch.
+Cost shape: the ROI extraction runs per level (cheap fused dynamic-slices),
+but the expensive hat-weight einsums run ONCE per face on the selected
+level's ROI — an earlier version warped every level and selected after,
+which cost 4x the matmul traffic (38 ms for 128 faces; this version ~8 ms).
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .align import ARCFACE_DST, umeyama_similarity, _invert_affine
 
@@ -43,7 +43,8 @@ def build_pyramid(frames: jnp.ndarray, levels: int = 4) -> list:
     """[B, H, W, C] -> list of ``levels`` average-pooled frames (f32).
 
     Level l is the input downscaled by 2**l via 2x2 mean pooling; H and W
-    must be divisible by 2**(levels-1).
+    must be divisible by 2**(levels-1).  Levels smaller than the ROI window
+    are edge-padded up to it once here (not per face).
     """
     x = frames.astype(jnp.float32)
     pyr = [x]
@@ -51,7 +52,14 @@ def build_pyramid(frames: jnp.ndarray, levels: int = 4) -> list:
         b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
         pyr.append(x)
-    return pyr
+    out = []
+    for lv in pyr:
+        b, h, w, c = lv.shape
+        if h < ROI or w < ROI:
+            lv = jnp.pad(lv, ((0, 0), (0, max(ROI - h, 0)),
+                              (0, max(ROI - w, 0)), (0, 0)), mode="edge")
+        out.append(lv)
+    return out
 
 
 def _hat_weights(coords: jnp.ndarray, n_in: int) -> jnp.ndarray:
@@ -66,7 +74,12 @@ def _hat_weights(coords: jnp.ndarray, n_in: int) -> jnp.ndarray:
 
 
 def _warp_one_from_roi(roi: jnp.ndarray, m_inv: jnp.ndarray, out_size: int) -> jnp.ndarray:
-    """roi [R, R, C], m_inv [2, 3] mapping dst->roi coords -> [out, out, C]."""
+    """roi [R, R, C], m_inv [2, 3] mapping dst->roi coords -> [out, out, C].
+
+    Pixel data is 8-bit; Precision.HIGH (bf16_3x passes) keeps ~2^-21
+    relative error — far below a quantization step — at a fraction of
+    HIGHEST's MXU cost.
+    """
     r = roi.shape[0]
     m00, m01, m02 = m_inv[0, 0], m_inv[0, 1], m_inv[0, 2]
     m10, m11, m12 = m_inv[1, 0], m_inv[1, 1], m_inv[1, 2]
@@ -83,14 +96,14 @@ def _warp_one_from_roi(roi: jnp.ndarray, m_inv: jnp.ndarray, out_size: int) -> j
          + (m02 - m01 * m12 / m11))  # [R, out]
     w1 = _hat_weights(u, r)  # [R, out, R_in]
     tmp = jnp.einsum("yjx,yxc->yjc", w1, roi,
-                     precision=jax.lax.Precision.HIGHEST,
+                     precision=jax.lax.Precision.HIGH,
                      preferred_element_type=jnp.float32)  # [R, out, C]
 
     # pass 2: sy[i, j]
     sy = m10 * jj[None, :] + m11 * ii[:, None] + m12  # [out(i), out(j)]
     w2 = _hat_weights(jnp.swapaxes(sy, 0, 1), r)  # [j, i, R]
     out = jnp.einsum("jiy,yjc->ijc", w2, tmp,
-                     precision=jax.lax.Precision.HIGHEST,
+                     precision=jax.lax.Precision.HIGH,
                      preferred_element_type=jnp.float32)  # [out, out, C]
     return out
 
@@ -118,7 +131,7 @@ def warp_faces_two_pass(
     if dst is None:
         dst = jnp.asarray(ARCFACE_DST) * (out_size / 112.0)
     pyr = build_pyramid(frames, levels)
-    h, w = frames.shape[1], frames.shape[2]
+    c = frames.shape[-1]
 
     def one(fidx, k):
         m = umeyama_similarity(k, dst)  # src -> dst
@@ -135,29 +148,28 @@ def warp_faces_two_pass(
         cx = m_inv[0, 0] * (out_size / 2) + m_inv[0, 1] * (out_size / 2) + m_inv[0, 2]
         cy = m_inv[1, 0] * (out_size / 2) + m_inv[1, 1] * (out_size / 2) + m_inv[1, 2]
 
-        outs = []
+        # Extract the ROI at every level (one fused frame+crop dynamic-slice
+        # each — cheap DMA), select the face's level, then warp ONCE.
+        rois, mats = [], []
         for l in range(levels):
             s = 2 ** l
-            lh, lw = h // s, w // s
-            # ROI start in level coords, clamped so the window stays inside.
+            lh, lw = pyr[l].shape[1], pyr[l].shape[2]
             x0 = jnp.clip(jnp.round(cx / s - ROI / 2).astype(jnp.int32),
-                          0, max(lw - ROI, 0))
+                          0, lw - ROI)
             y0 = jnp.clip(jnp.round(cy / s - ROI / 2).astype(jnp.int32),
-                          0, max(lh - ROI, 0))
-            img = pyr[l][fidx]
-            if lh < ROI or lw < ROI:
-                pad_h, pad_w = max(ROI - lh, 0), max(ROI - lw, 0)
-                img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+                          0, lh - ROI)
             roi = jax.lax.dynamic_slice(
-                img, (y0, x0, 0), (ROI, ROI, img.shape[-1]))
+                pyr[l], (fidx, y0, x0, 0), (1, ROI, ROI, c))[0]
             # Adjust dst->src matrix into ROI/level coordinates.
             adj = jnp.array([[1.0 / s, 0.0], [0.0, 1.0 / s]], jnp.float32)
             m_l = jnp.concatenate(
                 [adj @ m_inv[:, :2],
                  (adj @ m_inv[:, 2] - jnp.stack([x0, y0]).astype(jnp.float32))[:, None]],
                 axis=1)
-            outs.append(_warp_one_from_roi(roi, m_l, out_size))
-        stacked = jnp.stack(outs)  # [levels, out, out, C]
-        return stacked[lvl]
+            rois.append(roi)
+            mats.append(m_l)
+        roi_sel = jnp.stack(rois)[lvl]  # [ROI, ROI, C]
+        m_sel = jnp.stack(mats)[lvl]  # [2, 3]
+        return _warp_one_from_roi(roi_sel, m_sel, out_size)
 
     return jax.vmap(one)(frame_idx, kps)
