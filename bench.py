@@ -126,14 +126,18 @@ def main():
     lat_s = device_loop_time(fused_loop_runner(engine, frames1), n1=4, n2=20)
     frame_ms = lat_s * 1000.0
 
-    # Gallery QPS: 16 queries vs a 100k-identity gallery, top-1.
+    # Gallery QPS: 64 queries vs a 100k-identity gallery, top-1.  The match
+    # is microseconds per iteration, so the loop counts are large enough for
+    # the slope to dominate host noise.
     n_ids = int(os.environ.get("BENCH_GALLERY", "100000"))
+    n_q = 64
     gal = l2_normalize(jnp.asarray(
         rng.normal(size=(n_ids, 512)).astype(np.float32)))
-    q = gal[:16]
+    q = gal[:n_q]
     valid = jnp.ones((n_ids,), bool)
-    g_s = device_loop_time(gallery_loop_runner(q, gal, valid), n1=4, n2=24)
-    gallery_qps = 16 / g_s
+    g_s = device_loop_time(gallery_loop_runner(q, gal, valid),
+                           n1=64, n2=1024, reps=5)
+    gallery_qps = n_q / max(g_s, 1e-9)
 
     result = {
         "metric": "faces_per_sec_per_chip",
