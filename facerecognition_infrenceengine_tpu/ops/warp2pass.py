@@ -90,43 +90,40 @@ def _warp_one_from_roi(roi: jnp.ndarray, m_inv: jnp.ndarray, out_size: int) -> j
     yy = jax.lax.broadcasted_iota(jnp.float32, (r,), 0)
     ii = jax.lax.broadcasted_iota(jnp.float32, (out_size,), 0)
 
-    # pass 1: u[y, j]
+    # pass 1: u[y, j].  Contraction layout puts the output positions (j) in
+    # the MXU lane dimension and the 3 channels in sublanes — [C, X] @ [X, J]
+    # batched over y — instead of [J, X] @ [X, C] whose N=3 wastes 125/128
+    # lanes.
     u = ((m00 - m01 * m10 / m11) * jj[None, :]
          + (m01 / m11) * yy[:, None]
          + (m02 - m01 * m12 / m11))  # [R, out]
-    w1 = _hat_weights(u, r)  # [R, out, R_in]
-    tmp = jnp.einsum("yjx,yxc->yjc", w1, roi,
+    w1 = _hat_weights(u, r)  # [R(y), out(j), R(x)]
+    tmp = jnp.einsum("ycx,yxj->ycj", jnp.swapaxes(roi, 1, 2),
+                     jnp.swapaxes(w1, 1, 2),
                      precision=jax.lax.Precision.HIGH,
-                     preferred_element_type=jnp.float32)  # [R, out, C]
+                     preferred_element_type=jnp.float32)  # [R(y), C, out(j)]
 
-    # pass 2: sy[i, j]
+    # pass 2: sy[i, j], batched over j with i in lanes, channels in sublanes.
     sy = m10 * jj[None, :] + m11 * ii[:, None] + m12  # [out(i), out(j)]
-    w2 = _hat_weights(jnp.swapaxes(sy, 0, 1), r)  # [j, i, R]
-    out = jnp.einsum("jiy,yjc->ijc", w2, tmp,
+    w2 = _hat_weights(jnp.swapaxes(sy, 0, 1), r)  # [j, i, R(y)]
+    out = jnp.einsum("jcy,jyi->jci", jnp.transpose(tmp, (2, 1, 0)),
+                     jnp.swapaxes(w2, 1, 2),
                      precision=jax.lax.Precision.HIGH,
-                     preferred_element_type=jnp.float32)  # [out, out, C]
-    return out
+                     preferred_element_type=jnp.float32)  # [j, C, i]
+    return jnp.transpose(out, (2, 0, 1))  # [i, j, C]
 
 
-def warp_faces_two_pass(
+def extract_rois(
     frames: jnp.ndarray,
     frame_idx: jnp.ndarray,
     kps: jnp.ndarray,
     out_size: int = 112,
     dst: jnp.ndarray | None = None,
     levels: int = 4,
-) -> jnp.ndarray:
-    """Align M faces from a batch of frames without gathers.
+):
+    """Per-face ROI window + dst->ROI affine, pyramid level pre-selected.
 
-    Args:
-      frames:    [B, H, W, C] (uint8 or float), H and W divisible by
-                 2**(levels-1).
-      frame_idx: [M] int32 frame index per face.
-      kps:       [M, 5, 2] landmarks in frame coords.
-      out_size:  crop size (112).
-      dst:       template points; defaults to ARCFACE_DST scaled to out_size.
-
-    Returns [M, out_size, out_size, C] float32 crops.
+    Returns (rois [M, ROI, ROI, C] f32, mats [M, 2, 3] f32).
     """
     if dst is None:
         dst = jnp.asarray(ARCFACE_DST) * (out_size / 112.0)
@@ -170,6 +167,46 @@ def warp_faces_two_pass(
             mats.append(m_l)
         roi_sel = jnp.stack(rois)[lvl]  # [ROI, ROI, C]
         m_sel = jnp.stack(mats)[lvl]  # [2, 3]
-        return _warp_one_from_roi(roi_sel, m_sel, out_size)
+        return roi_sel, m_sel
 
     return jax.vmap(one)(frame_idx, kps)
+
+
+def warp_faces_two_pass(
+    frames: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    kps: jnp.ndarray,
+    out_size: int = 112,
+    dst: jnp.ndarray | None = None,
+    levels: int = 4,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Align M faces from a batch of frames without gathers.
+
+    Args:
+      frames:    [B, H, W, C] (uint8 or float), H and W divisible by
+                 2**(levels-1).
+      frame_idx: [M] int32 frame index per face.
+      kps:       [M, 5, 2] landmarks in frame coords.
+      out_size:  crop size (112).
+      dst:       template points; defaults to ARCFACE_DST scaled to out_size.
+      backend:   'auto', 'pallas', or 'xla'.  'auto' currently resolves to
+                 the XLA formulation everywhere: on v5e the Pallas kernel
+                 (ops/warp_pallas.py) measures ~10.4 ms vs XLA's ~8.6 ms for
+                 128 faces — the warp is hat-weight-generation-bound on the
+                 VPU either way, and XLA's fused codegen wins; the kernel
+                 stays available for shapes/hardware where the weight-tensor
+                 HBM traffic dominates instead.
+
+    Returns [M, out_size, out_size, C] float32 crops.
+    """
+    rois, mats = extract_rois(frames, frame_idx, kps, out_size, dst, levels)
+    if backend == "auto":
+        backend = "xla"
+    if backend == "pallas":
+        from .warp_pallas import warp_rois_pallas
+
+        return warp_rois_pallas(rois, mats, out_size=out_size)
+    return jax.vmap(
+        lambda roi, m_sel: _warp_one_from_roi(roi, m_sel, out_size)
+    )(rois, mats)
