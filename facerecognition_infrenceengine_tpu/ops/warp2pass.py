@@ -151,9 +151,14 @@ def extract_rois(
         for l in range(levels):
             s = 2 ** l
             lh, lw = pyr[l].shape[1], pyr[l].shape[2]
-            x0 = jnp.clip(jnp.round(cx / s - ROI / 2).astype(jnp.int32),
+            # Level pixel i is the mean of source pixels [s*i, s*i + s), so
+            # its center sits at source coordinate s*i + (s-1)/2: level
+            # coords are (src - (s-1)/2) / s, not src/s (a half-pixel shift
+            # per octave that visibly smears coarse-level crops otherwise).
+            shift = (s - 1) / 2.0
+            x0 = jnp.clip(jnp.round((cx - shift) / s - ROI / 2).astype(jnp.int32),
                           0, lw - ROI)
-            y0 = jnp.clip(jnp.round(cy / s - ROI / 2).astype(jnp.int32),
+            y0 = jnp.clip(jnp.round((cy - shift) / s - ROI / 2).astype(jnp.int32),
                           0, lh - ROI)
             roi = jax.lax.dynamic_slice(
                 pyr[l], (fidx, y0, x0, 0), (1, ROI, ROI, c))[0]
@@ -161,7 +166,8 @@ def extract_rois(
             adj = jnp.array([[1.0 / s, 0.0], [0.0, 1.0 / s]], jnp.float32)
             m_l = jnp.concatenate(
                 [adj @ m_inv[:, :2],
-                 (adj @ m_inv[:, 2] - jnp.stack([x0, y0]).astype(jnp.float32))[:, None]],
+                 ((m_inv[:, 2] - shift) / s
+                  - jnp.stack([x0, y0]).astype(jnp.float32))[:, None]],
                 axis=1)
             rois.append(roi)
             mats.append(m_l)
