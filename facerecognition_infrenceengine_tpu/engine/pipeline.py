@@ -95,6 +95,8 @@ class FaceEngine:
         self._embed_jit = jax.jit(self._embed_impl)
         self._embed_crops_jit = jax.jit(self._embed_crops_impl)
         self._fused_jit = jax.jit(self._fused_impl)
+        self._attr_jit = jax.jit(self._attributes_impl)
+        self._attr_variables = None  # (genderage, landmark106), lazy
 
     # -------------------------------------------------------------- programs
     def _detect_impl(self, det_variables, frames_u8, det_threshold):
@@ -141,6 +143,71 @@ class FaceEngine:
     def _embed_crops_impl(self, rec_variables, crops):
         emb = self.embedder.apply(rec_variables, arcface.preprocess(crops))
         return l2_normalize(emb)
+
+    def _ensure_attr_variables(self):
+        """buffalo_l's genderage + 2d106det heads (reference loads the whole
+        pack, infrenceServer.py:412-416); lazy so the recognition hot path
+        never pays for them unless attributes are requested."""
+        if self._attr_variables is None:
+            from ..models import genderage, landmark106
+
+            self._ga_model = genderage.GenderAge(dtype=jnp.bfloat16
+                                                 if self.cfg.dtype == "bfloat16"
+                                                 else jnp.float32)
+            self._lm_model = landmark106.Landmark106(dtype=jnp.bfloat16
+                                                     if self.cfg.dtype == "bfloat16"
+                                                     else jnp.float32)
+            ga_vars = load_or_init(
+                "genderage", self._ga_model,
+                jnp.zeros((1, genderage.INPUT_SIZE, genderage.INPUT_SIZE, 3),
+                          jnp.float32), seed=7)
+            lm_vars = load_or_init(
+                "landmark_2d_106", self._lm_model,
+                jnp.zeros((1, landmark106.INPUT_SIZE, landmark106.INPUT_SIZE, 3),
+                          jnp.float32), seed=8)
+            self._attr_variables = (ga_vars, lm_vars)
+        return self._attr_variables
+
+    def _attributes_impl(self, ga_vars, lm_vars, frames_u8, frame_idx, bboxes):
+        """Gender/age + 106 landmarks for M boxes (native frame coords)."""
+        from ..models import genderage, landmark106
+        from ..ops.warp2pass import boxes_to_affines, warp_boxes_two_pass
+
+        ga_crops = warp_boxes_two_pass(frames_u8, frame_idx, bboxes,
+                                       genderage.INPUT_SIZE, scale_factor=1.5)
+        ga_out = self._ga_model.apply(ga_vars, genderage.preprocess(ga_crops))
+        gender = jnp.argmax(ga_out[:, :2], axis=1)
+        age = jnp.round(ga_out[:, 2] * 100.0)
+
+        lm_crops = warp_boxes_two_pass(frames_u8, frame_idx, bboxes,
+                                       landmark106.INPUT_SIZE, scale_factor=1.5)
+        lm = self._lm_model.apply(lm_vars, genderage.preprocess(lm_crops))
+        # crop-normalized [-1, 1] -> crop pixels -> native frame coords
+        half = landmark106.INPUT_SIZE / 2.0
+        lm_px = (lm + 1.0) * half
+        m_inv = boxes_to_affines(bboxes, landmark106.INPUT_SIZE, 1.5)
+        rot = m_inv[:, :, :2]  # [M, 2, 2]
+        trans = m_inv[:, :, 2]  # [M, 2]
+        lm_src = jnp.einsum("mij,mkj->mki", rot, lm_px) + trans[:, None, :]
+        return gender.astype(jnp.int32), age.astype(jnp.float32), lm_src
+
+    def attributes(self, frames_u8, frame_idx, bboxes):
+        """Host API: gender [M], age [M], landmark_2d_106 [M, 106, 2]."""
+        ga_vars, lm_vars = self._ensure_attr_variables()
+        m = len(frame_idx)
+        if m == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.float32),
+                    np.zeros((0, 106, 2), np.float32))
+        mb = bucket(m)
+        pad_idx = np.zeros(mb, np.int32)
+        pad_idx[:m] = frame_idx
+        pad_boxes = np.tile(np.array([0, 0, 32, 32], np.float32)[None], (mb, 1))
+        pad_boxes[:m] = bboxes
+        gender, age, lm = self._attr_jit(
+            ga_vars, lm_vars, jnp.asarray(frames_u8), jnp.asarray(pad_idx),
+            jnp.asarray(pad_boxes))
+        return (np.asarray(gender)[:m], np.asarray(age)[:m],
+                np.asarray(lm)[:m])
 
     def _fused_impl(self, det_variables, rec_variables, frames_u8, det_threshold):
         """One program: detect -> align -> embed at fixed [B, max_faces]."""

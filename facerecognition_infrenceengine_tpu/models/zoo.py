@@ -38,16 +38,11 @@ class Face:
 
 def letterbox(frame: np.ndarray, canvas_hw: tuple) -> tuple:
     """Resize-with-aspect onto a zero canvas (insightface det convention);
-    returns (canvas uint8, scale) with coords_canvas = coords_orig * scale."""
-    import cv2
+    returns (canvas uint8, scale) with coords_canvas = coords_orig * scale.
+    Uses the framework's native C++ resampler (native/imagecodec.cc)."""
+    from .. import native
 
-    ch, cw = canvas_hw
-    h, w = frame.shape[:2]
-    scale = min(ch / h, cw / w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
-    resized = cv2.resize(frame, (nw, nh))
-    canvas = np.zeros((ch, cw, 3), frame.dtype)
-    canvas[:nh, :nw] = resized
+    canvas, scale = native.letterbox(np.ascontiguousarray(frame), *canvas_hw)
     return canvas, scale
 
 
@@ -63,11 +58,16 @@ class FaceAnalysis:
     """TPU-backed implementation of the insightface facade."""
 
     def __init__(self, name: str = "buffalo_l", cfg: EngineConfig | None = None,
-                 engine=None, **_):
+                 engine=None, allowed_modules=None, **_):
         self.name = name
         self.cfg = cfg or get_config().engine
         self._engine = engine
         self.det_thresh = 0.3
+        # insightface runs every model in the pack per face; buffalo_l =
+        # detection + recognition + genderage + 2d106 landmarks.  Pass
+        # e.g. ("detection", "recognition") to trim the per-frame work.
+        self.allowed_modules = tuple(allowed_modules) if allowed_modules else (
+            "detection", "recognition", "genderage", "landmark_2d_106")
 
     def prepare(self, ctx_id: int = 0, det_size: tuple | None = None,
                 det_thresh: float = 0.3):
@@ -133,13 +133,23 @@ class FaceAnalysis:
             batch = np.zeros((len(rgb_frames), max_h, max_w, 3), np.uint8)
             for i, f in enumerate(rgb_frames):
                 batch[i, :f.shape[0], :f.shape[1]] = f
-            emb = engine.embed_faces(batch, np.asarray(all_idx, np.int32),
-                                     np.stack(all_kps).astype(np.float32))
-            k = 0
-            for faces in per_frame:
-                for face in faces:
-                    face.normed_embedding = emb[k]
-                    k += 1
+            idx_arr = np.asarray(all_idx, np.int32)
+            flat_faces = [face for faces in per_frame for face in faces]
+            if "recognition" in self.allowed_modules:
+                emb = engine.embed_faces(batch, idx_arr,
+                                         np.stack(all_kps).astype(np.float32))
+                for face, e in zip(flat_faces, emb):
+                    face.normed_embedding = e
+            if ("genderage" in self.allowed_modules
+                    or "landmark_2d_106" in self.allowed_modules):
+                boxes = np.stack([f.bbox for f in flat_faces]).astype(np.float32)
+                gender, age, lm = engine.attributes(batch, idx_arr, boxes)
+                for i, face in enumerate(flat_faces):
+                    if "genderage" in self.allowed_modules:
+                        face.gender = int(gender[i])
+                        face.age = int(age[i])
+                    if "landmark_2d_106" in self.allowed_modules:
+                        face.landmark_2d_106 = lm[i]
         return per_frame
 
 

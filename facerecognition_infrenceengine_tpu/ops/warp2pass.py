@@ -127,12 +127,26 @@ def extract_rois(
     """
     if dst is None:
         dst = jnp.asarray(ARCFACE_DST) * (out_size / 112.0)
+
+    def kps_to_minv(k):
+        return _invert_affine(umeyama_similarity(k, dst))
+
+    m_inv = jax.vmap(kps_to_minv)(kps)
+    return extract_rois_from_affines(frames, frame_idx, m_inv, out_size, levels)
+
+
+def extract_rois_from_affines(
+    frames: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    m_inv_batch: jnp.ndarray,
+    out_size: int,
+    levels: int = 4,
+):
+    """As extract_rois, but from per-face dst->src affines [M, 2, 3]."""
     pyr = build_pyramid(frames, levels)
     c = frames.shape[-1]
 
-    def one(fidx, k):
-        m = umeyama_similarity(k, dst)  # src -> dst
-        m_inv = _invert_affine(m)  # dst -> src
+    def one(fidx, m_inv):
         # Scale of dst->src (pixels of source per output pixel).
         inv_scale = jnp.sqrt(jnp.abs(
             m_inv[0, 0] * m_inv[1, 1] - m_inv[0, 1] * m_inv[1, 0]))
@@ -175,7 +189,53 @@ def extract_rois(
         m_sel = jnp.stack(mats)[lvl]  # [2, 3]
         return roi_sel, m_sel
 
-    return jax.vmap(one)(frame_idx, kps)
+    return jax.vmap(one)(frame_idx, m_inv_batch)
+
+
+def boxes_to_affines(bboxes: jnp.ndarray, out_size: int,
+                     scale_factor: float = 1.5) -> jnp.ndarray:
+    """dst->src affines for bbox-centered square crops (no rotation).
+
+    The buffalo_l attribute heads (genderage, 2d106det) sample a square
+    window centered on the detection box with side max(w, h) * scale_factor
+    — the insightface ``face_align.transform`` convention.  bboxes [M, 4]
+    xyxy -> [M, 2, 3] mapping crop coords to source coords.
+    """
+    x1, y1, x2, y2 = bboxes[:, 0], bboxes[:, 1], bboxes[:, 2], bboxes[:, 3]
+    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    side = jnp.maximum(x2 - x1, y2 - y1) * scale_factor
+    s = side / out_size  # source pixels per crop pixel
+    zeros = jnp.zeros_like(s)
+    tx = cx - s * (out_size / 2.0)
+    ty = cy - s * (out_size / 2.0)
+    row0 = jnp.stack([s, zeros, tx], axis=1)
+    row1 = jnp.stack([zeros, s, ty], axis=1)
+    return jnp.stack([row0, row1], axis=1)
+
+
+def warp_boxes_two_pass(
+    frames: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    bboxes: jnp.ndarray,
+    out_size: int,
+    scale_factor: float = 1.5,
+    levels: int = 4,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Square bbox-centered crops (attribute-head inputs) via the same
+    two-pass machinery.  Returns [M, out_size, out_size, C] float32."""
+    m_inv = boxes_to_affines(bboxes, out_size, scale_factor)
+    rois, mats = extract_rois_from_affines(frames, frame_idx, m_inv,
+                                           out_size, levels)
+    if backend == "auto":
+        backend = "xla"
+    if backend == "pallas":
+        from .warp_pallas import warp_rois_pallas
+
+        return warp_rois_pallas(rois, mats, out_size=out_size)
+    return jax.vmap(
+        lambda roi, m_sel: _warp_one_from_roi(roi, m_sel, out_size)
+    )(rois, mats)
 
 
 def warp_faces_two_pass(

@@ -83,3 +83,46 @@ def test_bucket():
     assert bucket(3) == 4
     assert bucket(129) == 256
     assert bucket(300) == 512
+
+
+def test_engine_attributes(engine):
+    """Gender/age + 106-landmark heads (the rest of the buffalo_l pack)."""
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 160, 160, 3), dtype=np.uint8)
+    boxes = np.array([[20, 20, 90, 100], [40, 30, 120, 140]], np.float32)
+    gender, age, lm = engine.attributes(frames, np.array([0, 1], np.int32), boxes)
+    assert gender.shape == (2,) and set(np.unique(gender)) <= {0, 1}
+    assert age.shape == (2,)
+    assert lm.shape == (2, 106, 2)
+    # landmarks map back into the vicinity of their crop windows
+    side = (boxes[:, 2] - boxes[:, 0]).max() * 1.5
+    centers = np.stack([(boxes[:, 0] + boxes[:, 2]) / 2,
+                        (boxes[:, 1] + boxes[:, 3]) / 2], axis=1)
+    assert np.all(np.abs(lm - centers[:, None, :]) <= side * 1.01)
+    # empty input contract
+    g0, a0, l0 = engine.attributes(frames, np.zeros(0, np.int32),
+                                   np.zeros((0, 4), np.float32))
+    assert g0.shape == (0,) and l0.shape == (0, 106, 2)
+
+
+def test_face_analysis_full_pack_and_module_trim():
+    from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
+
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 255, (160, 160, 3), dtype=np.uint8)
+
+    full = FaceAnalysis(cfg=small_cfg())
+    full.prepare(ctx_id=0, det_thresh=0.0)  # synthetic weights: take any box
+    faces = full.get(frame)
+    assert faces, "expected at least one (synthetic) detection"
+    f = faces[0]
+    assert f.normed_embedding is not None and f.normed_embedding.shape == (512,)
+    assert f.gender in (0, 1) and f.age is not None
+    assert f.landmark_2d_106.shape == (106, 2)
+
+    trimmed = FaceAnalysis(cfg=small_cfg(),
+                           allowed_modules=("detection", "recognition"))
+    trimmed.prepare(ctx_id=0, det_thresh=0.0)
+    f2 = trimmed.get(frame)[0]
+    assert f2.normed_embedding is not None
+    assert f2.gender is None and f2.landmark_2d_106 is None
