@@ -215,6 +215,9 @@ class GalleryManager:
     def _sync(self):
         if self.last_sync_time is None:
             return
+        from ..core import metrics
+
+        t0 = time.perf_counter()
         since = self.last_sync_time
         updated_employees = list(self.ds.employee_info.find({
             "lastUpdated": {"$gte": since}, "status": "active",
@@ -227,6 +230,8 @@ class GalleryManager:
         if updated_employees or updated_visitors:
             self._load_updated(updated_employees, updated_visitors)
         self.last_sync_time = get_current_utc()
+        metrics.timer("gallery.sync").observe(time.perf_counter() - t0)
+        metrics.gauge("gallery.size").set(len(self.embeddings))
 
     def force_sync(self):
         self._sync()

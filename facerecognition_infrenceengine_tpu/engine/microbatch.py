@@ -20,6 +20,7 @@ import time
 from concurrent.futures import Future
 from typing import Any, Dict
 
+from ..core import metrics
 from ..core.config import EngineConfig, get_config
 
 
@@ -61,6 +62,7 @@ class MicroBatcher:
                 _, stale = slot.pop(0)
                 stale.set_result([])
                 self.stats["dropped"] += 1
+                metrics.counter("microbatch.dropped").inc()
             slot.append((frame, future))
         self._wakeup.set()
         return future
@@ -103,12 +105,15 @@ class MicroBatcher:
             frames = [f for f, _ in batch]
             futures = [fut for _, fut in batch]
             try:
-                results = self.face_app.get_batch(frames)
+                with metrics.timer("microbatch.dispatch"):
+                    results = self.face_app.get_batch(frames)
             except Exception as e:  # propagate to every waiter
                 for fut in futures:
                     fut.set_exception(e)
                 continue
             self.stats["dispatches"] += 1
             self.stats["frames"] += len(frames)
+            metrics.counter("microbatch.frames").inc(len(frames))
+            metrics.gauge("microbatch.last_batch").set(len(frames))
             for fut, faces in zip(futures, results):
                 fut.set_result(faces)

@@ -60,6 +60,28 @@ def build_app(gallery: GalleryManager, camera_manager: CameraManager) -> App:
         except Exception as e:
             return jsonify({"status": "error", "message": str(e)}), 500
 
+    # ---- observability (SURVEY.md §5.1/§5.5; the reference has none) ----
+    from ..core import metrics
+
+    @app.route("/api/metrics", methods=["GET"])
+    def get_metrics():
+        return jsonify(metrics.snapshot())
+
+    @app.route("/api/profiler/start", methods=["POST"])
+    def profiler_start():
+        data = request.get_json(silent=True) or {}
+        logdir = data.get("logdir", "/tmp/fre_profile")
+        if metrics.start_device_trace(logdir):
+            return jsonify({"status": "success", "logdir": logdir})
+        return jsonify({"status": "error", "message": "trace already active"}), 409
+
+    @app.route("/api/profiler/stop", methods=["POST"])
+    def profiler_stop():
+        logdir = metrics.stop_device_trace()
+        if logdir is None:
+            return jsonify({"status": "error", "message": "no active trace"}), 409
+        return jsonify({"status": "success", "logdir": logdir})
+
     return app
 
 

@@ -157,6 +157,12 @@ def build_app(people_manager: CampusPeopleManager) -> App:
         except Exception as e:
             return jsonify({"success": False, "error": str(e)}), 500
 
+    from ..core import metrics
+
+    @app.route("/api/metrics", methods=["GET"])
+    def get_metrics():
+        return jsonify(metrics.snapshot())
+
     return app
 
 
