@@ -65,8 +65,10 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
             return False
         return companies.find_one({"_id": oid}) is not None
 
-    def validate_entity_against_definition(entity_data, definition):
-        # reference entity.py:43-87
+    def validate_entity_against_definition(entity_data, definition,
+                                           exclude_id=None):
+        # reference entity.py:43-87; exclude_id keeps an UPDATE of an
+        # existing child from counting itself against maxChildren
         entity_type = entity_data["type"]
         etypes = definition["structure"]["entityTypes"]
         if entity_type not in etypes:
@@ -89,8 +91,11 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
                         and rel["childType"] == entity_type):
                     max_children = rel.get("constraints", {}).get("maxChildren")
                     if max_children:
-                        count = entities.count_documents({
-                            "parentId": parent["_id"], "type": entity_type})
+                        count_query = {"parentId": parent["_id"],
+                                       "type": entity_type}
+                        if exclude_id is not None:
+                            count_query["_id"] = {"$ne": ObjectId(str(exclude_id))}
+                        count = entities.count_documents(count_query)
                         if count >= max_children:
                             return False, (f"Maximum number of {entity_type} "
                                            f"children reached for this "
@@ -295,7 +300,8 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         if not definition:
             return jsonify({"error": "Entity definition not found or inactive"}), 404
         merged = {**existing, **data}
-        ok, err = validate_entity_against_definition(merged, definition)
+        ok, err = validate_entity_against_definition(merged, definition,
+                                                     exclude_id=existing["_id"])
         if not ok:
             return jsonify({"error": f"Entity validation failed: {err}"}), 400
         data = dict(data)
@@ -385,6 +391,8 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
             return jsonify({"error": "Entity not found"}), 404
         if not new_parent:
             return jsonify({"error": "New parent entity not found"}), 404
+        if ObjectId(entity_id) == new_parent["_id"]:
+            return jsonify({"error": "Cannot move entity under itself"}), 400
         if ObjectId(entity_id) in new_parent["path"]:
             return jsonify({"error": "Cannot move entity to its own descendant"}), 400
         old_path = entity["path"]

@@ -95,18 +95,23 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
                 return visit
         return ds.visits.find_one({"visitId": visit_id})
 
-    def has_overlapping_visit(visitor_id, new_start, new_end) -> bool:
-        # reference visitor.py:181-189
+    def has_overlapping_visit(visitor_id, new_start, new_end,
+                              exclude_visit_id=None) -> bool:
+        # reference visitor.py:181-189; exclude_visit_id lets a reschedule
+        # overlap the visit's own current window
         try:
             vid = ObjectId(str(visitor_id))
         except Exception:
             return False
-        return ds.visits.find_one({
+        query = {
             "visitorId": vid,
             "status": {"$in": ["scheduled", "checked_in"]},
             "$or": [{"expectedArrival": {"$lt": new_end},
                      "expectedDeparture": {"$gt": new_start}}],
-        }) is not None
+        }
+        if exclude_visit_id is not None:
+            query["_id"] = {"$ne": exclude_visit_id}
+        return ds.visits.find_one(query) is not None
 
     # ------------------------------------------------------------ register
     @bp.route("/register", methods=["POST"])
@@ -445,7 +450,8 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
             new_end = parse_datetime(update_fields.get(
                 "expectedDeparture",
                 visit.get("expectedDeparture", visit["expectedArrival"])))
-            if has_overlapping_visit(vid, new_start, new_end):
+            if has_overlapping_visit(vid, new_start, new_end,
+                                     exclude_visit_id=visit["_id"]):
                 return error_response("Visitor already has an overlapping visit.", 409)
             if "expectedArrival" in update_fields:
                 update_fields["expectedArrival"] = new_start

@@ -58,7 +58,7 @@ class Gauge:
 class StageTimer:
     """Latency stats for one pipeline stage (seconds in, ms out)."""
 
-    __slots__ = ("count", "total_s", "ewma_s", "_ring", "_lock", "_t0")
+    __slots__ = ("count", "total_s", "ewma_s", "_ring", "_lock")
 
     def __init__(self, ring: int = 256):
         self.count = 0
@@ -75,12 +75,42 @@ class StageTimer:
                            else 0.9 * self.ewma_s + 0.1 * seconds)
             self._ring.append(seconds)
 
+    def snapshot(self):
+        with self._lock:
+            if not self.count:
+                return {"count": 0}
+            ring = sorted(self._ring)
+            p = lambda q: ring[min(len(ring) - 1, int(q * len(ring)))] * 1000.0
+            return {
+                "count": self.count,
+                "mean_ms": self.total_s / self.count * 1000.0,
+                "ewma_ms": (self.ewma_s or 0.0) * 1000.0,
+                "p50_ms": p(0.50),
+                "p95_ms": p(0.95),
+                "max_ms": ring[-1] * 1000.0,
+            }
+
+
+class _TimerSpan:
+    """What ``timer(name)`` hands out: a context manager carrying its own
+    start time, so concurrent ``with metrics.timer(name):`` blocks from
+    different threads never share mutable state.  The per-name StageTimer
+    singleton only accumulates statistics."""
+
+    __slots__ = ("_timer", "_t0")
+
+    def __init__(self, timer: StageTimer):
+        self._timer = timer
+
+    def observe(self, seconds: float):
+        self._timer.observe(seconds)
+
     def __enter__(self):
         self._t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        self.observe(time.perf_counter() - self._t0)
+        self._timer.observe(time.perf_counter() - self._t0)
         return False
 
     def snapshot(self):
@@ -118,11 +148,11 @@ def gauge(name: str) -> Gauge:
         return _gauges[name]
 
 
-def timer(name: str) -> StageTimer:
+def timer(name: str) -> _TimerSpan:
     with _LOCK:
         if name not in _timers:
             _timers[name] = StageTimer()
-        return _timers[name]
+        return _TimerSpan(_timers[name])
 
 
 def snapshot() -> dict:

@@ -17,8 +17,11 @@ GridFS read loop per enrollment — its worst scaling bug (SURVEY.md §8).
 
 from __future__ import annotations
 
+import itertools
 import logging
+import os
 import pickle
+import socket
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor, as_completed
@@ -71,13 +74,22 @@ class ResourceMonitor:
             return True
 
 
+_WORKER_SEQ = itertools.count(1)
+
+
 class FaceEmbeddingWorker:
     def __init__(self, ds: Datastore, cfg: Config | None = None,
                  detector=None, worker_id: str | None = None):
         cfg = cfg or get_config()
         self.ds = ds
         self.cfg = cfg.worker
-        self.worker_id = worker_id or f"{self.cfg.model_name}_worker1"
+        # Unique per worker instance: multiple workers share the job queue by
+        # atomic claim (trainingServer.py:491-513); a shared id would let a
+        # loser of the claim race "recover" the winner's jobs and
+        # double-process them.
+        self.worker_id = worker_id or (
+            f"{self.cfg.model_name}_{socket.gethostname()}_{os.getpid()}"
+            f"_{next(_WORKER_SEQ)}")
         self.resource_monitor = ResourceMonitor(self.cfg)
         self._detector = detector  # FaceAnalysis-compatible; lazy by default
         self.shutdown_event = threading.Event()
@@ -138,13 +150,15 @@ class FaceEmbeddingWorker:
         return True, None
 
     def _check_duplicate_face(self, new_embedding, company_id, collection,
-                              id_field: str):
+                              id_field: str, exclude_doc_id=None):
         """Company-wide duplicate scan as one matmul.
 
         Same decision rule as the reference (cos > 0.4 against any enrolled
         embedding of the company, trainingServer.py:170-200) but computed as
         a single normalized matmul over a gallery snapshot, not a GridFS
-        read per person."""
+        read per person.  ``exclude_doc_id`` skips the person being enrolled
+        — a retried job whose previous attempt already stored its embedding
+        must not flag them as a duplicate of themselves."""
         key = f"{id_field}Embeddings"
         fs = (self.ds.employee_embeddings if id_field == "employee"
               else self.ds.visitor_embeddings)
@@ -152,6 +166,8 @@ class FaceEmbeddingWorker:
         for doc in collection.find({
                 "companyId": company_id,
                 f"{key}.buffalo_l.embeddingId": {"$exists": True}}):
+            if exclude_doc_id is not None and doc["_id"] == exclude_doc_id:
+                continue
             try:
                 entry = doc[key]["buffalo_l"]
                 blob = fs.get(ObjectId(str(entry["embeddingId"]))).read()
@@ -247,7 +263,8 @@ class FaceEmbeddingWorker:
             avg_embedding = np.mean(face_embeddings, axis=0)
 
             is_dup, dup_id = self._check_duplicate_face(
-                avg_embedding, company_id, collection, id_field)
+                avg_embedding, company_id, collection, id_field,
+                exclude_doc_id=doc_id)
             if is_dup:
                 collection.update_one(
                     {"companyId": company_id, "_id": doc_id},

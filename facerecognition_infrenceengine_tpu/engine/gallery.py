@@ -219,6 +219,11 @@ class GalleryManager:
 
         t0 = time.perf_counter()
         since = self.last_sync_time
+        # Stamp the next watermark BEFORE querying: docs whose lastUpdated
+        # lands while this sync runs must be re-read by the next delta sync
+        # (re-reading a doc twice is harmless; skipping one loses a person
+        # from the gallery until an unrelated later update).
+        next_watermark = get_current_utc()
         updated_employees = list(self.ds.employee_info.find({
             "lastUpdated": {"$gte": since}, "status": "active",
             "blacklisted": False,
@@ -229,7 +234,7 @@ class GalleryManager:
         self._remove_inactive()
         if updated_employees or updated_visitors:
             self._load_updated(updated_employees, updated_visitors)
-        self.last_sync_time = get_current_utc()
+        self.last_sync_time = next_watermark
         metrics.timer("gallery.sync").observe(time.perf_counter() - t0)
         metrics.gauge("gallery.size").set(len(self.embeddings))
 
@@ -256,21 +261,26 @@ class GalleryManager:
             snap = self._snapshots.get(key)
             if snap is not None:
                 return snap
-        if company_id is None:
-            with self._lock:
-                ids = list(self.embeddings)
-        else:
-            allowed = self._company_person_ids(company_id)
-            with self._lock:
-                ids = [pid for pid in self.embeddings if pid in allowed]
+        # DB reads happen outside the lock (they can be slow); everything
+        # touching self.embeddings happens inside ONE lock acquisition so a
+        # concurrent _remove_inactive cannot delete a pid between the id
+        # listing and the matrix build.  _version detects an invalidation
+        # that raced the DB read — the stale snapshot must not be cached.
         with self._lock:
+            version = self._version
+        allowed = (None if company_id is None
+                   else self._company_person_ids(company_id))
+        with self._lock:
+            ids = [pid for pid in self.embeddings
+                   if allowed is None or pid in allowed]
             matrix = (np.stack([self.embeddings[i] for i in ids])
                       if ids else np.zeros((0, self.cfg.engine.embed_dim), np.float32))
             meta = {i: self.metadata[i] for i in ids}
             snap = _CompanySnapshot(ids, meta, matrix,
                                     self.cfg.engine.embed_dim,
                                     self.cfg.engine.gallery_block)
-            self._snapshots[key] = snap
+            if self._version == version:
+                self._snapshots[key] = snap
             return snap
 
     def match(self, query_embeddings, company_id: str | None = None, k: int = 1):

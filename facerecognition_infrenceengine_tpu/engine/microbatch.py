@@ -82,6 +82,10 @@ class MicroBatcher:
                     if slot and len(batch) < self.cfg.microbatch_max:
                         batch.append(slot.pop(0))
                         progressed = True
+            # prune drained sources: one-shot keys (process() uses a fresh
+            # object() per call) must not accumulate forever
+            for key in [k for k, slot in self._slots.items() if not slot]:
+                del self._slots[key]
             return batch
 
     def _loop(self):

@@ -390,7 +390,9 @@ def _apply_update(doc: dict, update: dict, *, on_insert: bool = False) -> bool:
 
 def _project(doc: dict, projection: dict | None) -> dict:
     if not projection:
-        return copy.deepcopy(doc)
+        # find() already snapshot-copied the doc for this cursor; a second
+        # deepcopy here would double the cost of every unprojected read.
+        return doc
     include_id = projection.get("_id", 1)
     fields = {k: v for k, v in projection.items() if k != "_id"}
     inclusive = any(v for v in fields.values()) if fields else bool(include_id)

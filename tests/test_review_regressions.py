@@ -1,0 +1,204 @@
+"""Regression tests for defects found in the round-1 code review.
+
+Each test pins a concrete failure mode: visit reschedule self-overlap,
+entity update counted against its own maxChildren, move-under-self cycle,
+gallery delta-sync watermark window, enrollment self-duplicate on retry,
+and worker-id claim-race uniqueness.
+"""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from facerecognition_infrenceengine_tpu.api import create_app
+from facerecognition_infrenceengine_tpu.core.config import Config
+from facerecognition_infrenceengine_tpu.store import Datastore
+
+JPEG = b"\xff\xd8\xff\xe0" + b"fakejpegdata" * 10
+
+
+@pytest.fixture
+def app():
+    cfg = Config()
+    return create_app(Datastore(cfg), cfg)
+
+
+@pytest.fixture
+def client(app):
+    return app.test_client()
+
+
+@pytest.fixture
+def company(client):
+    return client.post("/bharatlytics/v1/companies/seed").get_json()["company"]["_id"]
+
+
+def _register_host(client, cid):
+    files = {p: (f"{p}.jpg", JPEG, "image/jpeg") for p in ("center", "left", "right")}
+    r = client.post("/bharatlytics/v1/employees/register",
+                    data={"employeeId": "H1", "employeeName": "Host",
+                          "companyId": cid}, files=files)
+    assert r.status_code == 200
+    return "H1"
+
+
+def test_visit_reschedule_does_not_overlap_itself(app, client, company):
+    host = _register_host(client, company)
+    host_doc = app.datastore.employee_info.find_one({"employeeId": host})
+    files = {p: (f"{p}.jpg", JPEG, "image/jpeg") for p in ("center", "left", "right")}
+    vid = client.post("/bharatlytics/v1/visitors/register",
+                      data={"companyId": company, "visitorName": "G",
+                            "phone": "9876543210", "hostEmployeeId": host},
+                      files=files).get_json()["_id"]
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    start = now.isoformat()
+    end = (now + datetime.timedelta(hours=1)).isoformat()
+    visit = client.post(
+        f"/bharatlytics/v1/visitors/{vid}/schedule-visit",
+        json_body={"companyId": company, "hostEmployeeId": str(host_doc["_id"]),
+                   "expectedArrival": start, "expectedDeparture": end,
+                   "purpose": "x"}).get_json()["visit"]
+    # extend the same visit: new window overlaps the old one by construction
+    new_end = (now + datetime.timedelta(hours=2)).isoformat()
+    r = client.patch(f"/bharatlytics/v1/visitors/visits/{visit['_id']}",
+                     json_body={"expectedDeparture": new_end})
+    assert r.status_code == 200, r.text
+
+
+def _definition_with_max_children(client, cid, max_children=2):
+    tpl = client.get("/bharatlytics/v1/entities/templates").get_json()
+    office = next(t for t in tpl if t["type"] == "office")
+    d = client.post("/bharatlytics/v1/entity-definitions/from-template",
+                    json_body={"templateId": office["_id"], "companyId": cid,
+                               "name": "hq"}).get_json()
+    did = d["id"]
+    full = client.get(f"/bharatlytics/v1/entity-definitions/{did}").get_json()
+    for rel in full["relationships"]:
+        rel.setdefault("constraints", {})["maxChildren"] = max_children
+    client.open(f"/bharatlytics/v1/entity-definitions/{did}", "PUT",
+                json_body={"relationships": full["relationships"]})
+    return did
+
+
+def test_update_entity_not_counted_against_own_max_children(client, company):
+    did = _definition_with_max_children(client, company, max_children=1)
+    b = client.post("/bharatlytics/v1/entities",
+                    json_body={"name": "B1", "type": "building",
+                               "definitionId": did, "companyId": company,
+                               "attributes": {"buildingCode": "BLD001",
+                                              "address": "x"}}).get_json()
+    f = client.post("/bharatlytics/v1/entities",
+                    json_body={"name": "F1", "type": "floor",
+                               "definitionId": did, "companyId": company,
+                               "parentId": b["id"],
+                               "attributes": {"floorNumber": "1"}}).get_json()
+    assert "id" in f, f
+    # parent is now at maxChildren=1; renaming the existing child must pass
+    r = client.open(f"/bharatlytics/v1/entities/{f['id']}", "PUT",
+                    json_body={"name": "F1-renamed"})
+    assert r.status_code == 200, r.text
+    # but a second child is still rejected
+    r2 = client.post("/bharatlytics/v1/entities",
+                     json_body={"name": "F2", "type": "floor",
+                                "definitionId": did, "companyId": company,
+                                "parentId": b["id"],
+                                "attributes": {"floorNumber": "2"}})
+    assert r2.status_code == 400
+
+
+def test_move_entity_under_itself_rejected(client, company):
+    did = _definition_with_max_children(client, company, max_children=50)
+    b = client.post("/bharatlytics/v1/entities",
+                    json_body={"name": "B1", "type": "building",
+                               "definitionId": did, "companyId": company,
+                               "attributes": {"buildingCode": "BLD001",
+                                              "address": "x"}}).get_json()
+    r = client.post(f"/bharatlytics/v1/entities/{b['id']}/move",
+                    json_body={"newParentId": b["id"]})
+    assert r.status_code == 400
+    assert "itself" in r.get_json()["error"]
+
+
+def test_gallery_sync_watermark_covers_inflight_updates(app):
+    """Docs updated while a sync runs must be picked up by the NEXT sync."""
+    from facerecognition_infrenceengine_tpu.engine.gallery import GalleryManager
+
+    ds = app.datastore
+    cfg = app.config_tree
+    gallery = GalleryManager(ds, cfg)
+    real_find = ds.employee_info.find
+    inserted = {}
+
+    def find_and_then_insert(*args, **kwargs):
+        result = real_find(*args, **kwargs)
+        if not inserted:
+            # simulate an enrollment landing mid-sync, after the query ran
+            import pickle
+
+            from facerecognition_infrenceengine_tpu.api.utils import get_current_utc
+            from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+
+            vec = np.random.default_rng(0).normal(size=512).astype(np.float32)
+            blob_id = ds.employee_embeddings.put(pickle.dumps(vec), filename="e")
+            ds.employee_info.insert_one({
+                "employeeId": "E9", "employeeName": "Late",
+                "companyId": ObjectId(), "status": "active",
+                "blacklisted": False, "lastUpdated": get_current_utc(),
+                "employeeEmbeddings": {"buffalo_l": {
+                    "status": "done", "embeddingId": blob_id}},
+            })
+            inserted["done"] = True
+        return result
+
+    ds.employee_info.find = find_and_then_insert
+    try:
+        gallery.force_sync()  # the insert lands after this sync's query
+    finally:
+        ds.employee_info.find = real_find
+    assert len(gallery.embeddings) == 0  # missed by THIS sync, as expected
+    gallery.force_sync()
+    assert len(gallery.embeddings) == 1  # watermark re-covered the window
+
+
+def test_enrollment_retry_not_self_duplicate(app, client, company):
+    from facerecognition_infrenceengine_tpu.domain.enrollment import (
+        FaceEmbeddingWorker, JobStatus)
+    from facerecognition_infrenceengine_tpu.models.zoo import (
+        FakeFaceAnalysis, encode_fake_face)
+    import cv2
+
+    def png(seed, j):
+        ok, buf = cv2.imencode(".png", encode_fake_face(seed, j))
+        return buf.tobytes()
+
+    files = {p: (f"{p}.png", png(55, j), "image/png")
+             for p, j in zip(("center", "left", "right"), (0.0, 0.1, 0.2))}
+    r = client.post("/bharatlytics/v1/employees/register",
+                    data={"employeeId": "E1", "employeeName": "P",
+                          "companyId": company}, files=files)
+    assert r.status_code == 200
+    ds = app.datastore
+    worker = FaceEmbeddingWorker(ds, app.config_tree, detector=FakeFaceAnalysis())
+    assert worker.process_available_jobs() == 1
+    job = ds.embedding_jobs.find_one({"model": "buffalo_l"})
+    assert job["status"] == JobStatus.DONE.value
+    # simulate a crash-after-store: requeue the job and reprocess
+    ds.embedding_jobs.update_one({"_id": job["_id"]},
+                                 {"$set": {"status": "queued", "retries": 1}})
+    assert worker.process_available_jobs() == 1
+    job2 = ds.embedding_jobs.find_one({"_id": job["_id"]})
+    assert job2["status"] == JobStatus.DONE.value, job2.get("error")
+    emp = ds.employee_info.find_one({"employeeId": "E1"})
+    assert emp["status"] != "pending_duplicate_removal"
+
+
+def test_worker_ids_unique_by_default(app):
+    from facerecognition_infrenceengine_tpu.domain.enrollment import (
+        FaceEmbeddingWorker)
+    from facerecognition_infrenceengine_tpu.models.zoo import FakeFaceAnalysis
+
+    ds = app.datastore
+    w1 = FaceEmbeddingWorker(ds, app.config_tree, detector=FakeFaceAnalysis())
+    w2 = FaceEmbeddingWorker(ds, app.config_tree, detector=FakeFaceAnalysis())
+    assert w1.worker_id != w2.worker_id
