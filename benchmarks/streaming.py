@@ -1,0 +1,133 @@
+"""End-to-end multi-camera streaming benchmark (SURVEY.md §7 config #4).
+
+Simulates N cameras pushing frames through the production serving path —
+MicroBatcher -> FaceAnalysis.get_batch -> fused detect+align+embed on
+device — and reports sustained frames/s, per-frame latency percentiles, and
+drop counts.  This measures the REAL host+device path (python threads,
+batching window, host<->device transfers), unlike bench.py's device-only
+loop, so on a tunneled TPU the dispatch round-trip is part of the cost, as
+it would be in production behind the same link.
+
+Usage: python benchmarks/streaming.py [n_cameras] [seconds]
+"""
+
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+except Exception:
+    pass
+
+
+def main():
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.engine.microbatch import MicroBatcher
+    from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
+
+    n_cameras = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    duration = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
+    fps = 30.0
+
+    cfg = EngineConfig(det_size=(640, 640), max_faces=16, pre_nms_topk=256,
+                       dtype="bfloat16", microbatch_max=max(16, n_cameras))
+    app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
+    app.prepare(ctx_id=0, det_thresh=0.3)
+
+    rng = np.random.default_rng(0)
+    # unique per-camera frames at camera resolution (the facade letterboxes)
+    base_frames = [rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+                   for _ in range(n_cameras)]
+
+    # Warm every bucketed batch shape the drain can produce BEFORE timing —
+    # a cold compile mid-stream would otherwise stall the dispatch thread
+    # for the whole measurement window.
+    sizes, b = [], 1
+    while b < max(16, n_cameras):
+        sizes.append(b)
+        b *= 2
+    sizes.append(max(16, n_cameras))
+    for size in sizes:
+        t0 = time.perf_counter()
+        app.get_batch([base_frames[i % n_cameras] for i in range(size)])
+        print(f"  warm batch {size}: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+
+    batcher = MicroBatcher(app, cfg)
+    batcher.start()
+
+    latencies = []
+    lat_lock = threading.Lock()
+    done = threading.Event()
+    submitted = [0] * n_cameras
+    completed = [0] * n_cameras
+
+    def camera(idx: int):
+        period = 1.0 / fps
+        frame = base_frames[idx]
+        next_t = time.perf_counter()
+        while not done.is_set():
+            now = time.perf_counter()
+            if now < next_t:
+                time.sleep(min(period / 4, next_t - now))
+                continue
+            next_t += period
+            # cheap uniqueness: roll the frame by the submission count
+            f = np.roll(frame, submitted[idx] % 17, axis=1)
+            submitted[idx] += 1
+            t0 = time.perf_counter()
+            fut = batcher.submit(f"cam{idx}", f)
+
+            def on_done(_fut, t0=t0, idx=idx):
+                if getattr(_fut, "dropped", False):
+                    return  # backpressure drop, not a processed frame
+                with lat_lock:
+                    latencies.append(time.perf_counter() - t0)
+                completed[idx] += 1
+
+            fut.add_done_callback(on_done)
+
+    threads = [threading.Thread(target=camera, args=(i,), daemon=True)
+               for i in range(n_cameras)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(duration)
+    done.set()
+    for t in threads:
+        t.join(timeout=2)
+    time.sleep(0.5)  # let in-flight futures resolve
+    wall = time.perf_counter() - t_start
+    batcher.stop()
+
+    lats = sorted(latencies)
+    n_done = len(lats)
+    p = lambda q: lats[min(n_done - 1, int(q * n_done))] * 1000 if n_done else 0
+    total_submitted = sum(submitted)
+    print(f"cameras={n_cameras} @ {fps:.0f} fps nominal, {wall:.1f}s wall")
+    print(f"  submitted {total_submitted} frames "
+          f"({total_submitted / wall:.1f}/s), processed {n_done} "
+          f"({n_done / wall:.1f}/s), dropped {batcher.stats['dropped']} "
+          f"(backpressure)")
+    print(f"  dispatches {batcher.stats['dispatches']} "
+          f"(avg batch {batcher.stats['frames'] / max(1, batcher.stats['dispatches']):.1f})")
+    print(f"  processed-frame latency p50 {p(0.5):.1f} ms  "
+          f"p90 {p(0.9):.1f} ms  p99 {p(0.99):.1f} ms")
+    mbps = (batcher.stats["frames"] * 640 * 640 * 3) / wall / 1e6
+    print(f"  note: host->device pixel traffic ~{mbps:.0f} MB/s; on a "
+          f"tunneled link (~20 MB/s here) dispatch is transfer-bound — "
+          f"PCIe-attached chips lift this ~1000x (see bench.py for the "
+          f"device-side ceiling)")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,7 @@ class MicroBatcher:
             slot = self._slots.setdefault(source, [])
             while len(slot) >= self.cfg.frame_queue_depth:
                 _, stale = slot.pop(0)
+                stale.dropped = True  # lets callers tell drops from no-face
                 stale.set_result([])
                 self.stats["dropped"] += 1
                 metrics.counter("microbatch.dropped").inc()

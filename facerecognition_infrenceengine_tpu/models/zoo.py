@@ -91,8 +91,53 @@ class FaceAnalysis:
         faces_batch = self.get_batch([frame], max_num=max_num)
         return faces_batch[0]
 
+    def _get_batch_fused(self, engine, stacked, scales, frames,
+                         max_num: int) -> list:
+        """One detect+align+embed program, one pixel upload (scale==1 only)."""
+        boxes, det_scores, kps, valid, emb = engine.detect_align_embed(
+            stacked, det_threshold=self.det_thresh)
+        boxes = np.asarray(boxes)
+        det_scores = np.asarray(det_scores)
+        kps = np.asarray(kps)
+        valid = np.asarray(valid)
+        emb = np.asarray(emb)
+        per_frame = []
+        for b in range(len(scales)):
+            faces = []
+            for f in range(valid.shape[1]):
+                if not valid[b, f]:
+                    continue
+                face = Face(bbox=boxes[b, f], det_score=float(det_scores[b, f]),
+                            kps=kps[b, f])
+                face.normed_embedding = emb[b, f]
+                faces.append(face)
+            if max_num:
+                faces = faces[:max_num]
+            per_frame.append(faces)
+        if ("genderage" in self.allowed_modules
+                or "landmark_2d_106" in self.allowed_modules):
+            self._attach_attributes(engine, stacked, per_frame)
+        return per_frame
+
+    def _attach_attributes(self, engine, batch, per_frame):
+        flat_faces = [face for faces in per_frame for face in faces]
+        if not flat_faces:
+            return
+        idx_arr = np.asarray(
+            [b for b, faces in enumerate(per_frame) for _ in faces], np.int32)
+        boxes = np.stack([f.bbox for f in flat_faces]).astype(np.float32)
+        gender, age, lm = engine.attributes(batch, idx_arr, boxes)
+        for i, face in enumerate(flat_faces):
+            if "genderage" in self.allowed_modules:
+                face.gender = int(gender[i])
+                face.age = int(age[i])
+            if "landmark_2d_106" in self.allowed_modules:
+                face.landmark_2d_106 = lm[i]
+
     def get_batch(self, frames: list, max_num: int = 0) -> list:
         """Batched variant (the TPU-native entry the micro-batcher uses)."""
+        from ..engine.pipeline import bucket
+
         engine = self._ensure_engine()
         canvases = []
         scales = []
@@ -103,7 +148,24 @@ class FaceAnalysis:
             canvases.append(canvas)
             scales.append(scale)
             rgb_frames.append(rgb)
-        det = engine.detect(np.stack(canvases), det_threshold=self.det_thresh)
+        # Pad to a bucketed batch size: XLA compiles one program per shape,
+        # and a varying camera count must not trigger fresh compiles
+        # mid-stream (minutes over a tunneled runtime).
+        nb = bucket(len(canvases))
+        stacked = np.zeros((nb,) + tuple(canvases[0].shape), np.uint8)
+        for i, cv in enumerate(canvases):
+            stacked[i] = cv
+
+        # When every frame fits the canvas unscaled (scale == 1.0, the
+        # 640x480-camera common case) the canvas IS the native frame, so the
+        # fully-fused single-program path is exact AND uploads the pixels
+        # once instead of twice (detect canvases + embed frames) — the
+        # dominant cost when the host<->device link is thin.
+        want_embed = "recognition" in self.allowed_modules
+        if want_embed and all(s == 1.0 for s in scales):
+            return self._get_batch_fused(engine, stacked, scales, frames,
+                                         max_num)
+        det = engine.detect(stacked, det_threshold=self.det_thresh)
 
         # collect all faces across frames, map coords back to native frames
         all_idx, all_kps, per_frame = [], [], []
@@ -125,12 +187,13 @@ class FaceAnalysis:
                 all_kps.append(face.kps)
 
         if all_idx:
-            # embed from native-resolution frames (padded to a common shape)
+            # embed from native-resolution frames, padded to a common shape
+            # AND a bucketed batch count (compile-shape stability, as above)
             max_h = max(f.shape[0] for f in rgb_frames)
             max_w = max(f.shape[1] for f in rgb_frames)
             max_h += (-max_h) % 8
             max_w += (-max_w) % 8
-            batch = np.zeros((len(rgb_frames), max_h, max_w, 3), np.uint8)
+            batch = np.zeros((bucket(len(rgb_frames)), max_h, max_w, 3), np.uint8)
             for i, f in enumerate(rgb_frames):
                 batch[i, :f.shape[0], :f.shape[1]] = f
             idx_arr = np.asarray(all_idx, np.int32)
@@ -142,14 +205,7 @@ class FaceAnalysis:
                     face.normed_embedding = e
             if ("genderage" in self.allowed_modules
                     or "landmark_2d_106" in self.allowed_modules):
-                boxes = np.stack([f.bbox for f in flat_faces]).astype(np.float32)
-                gender, age, lm = engine.attributes(batch, idx_arr, boxes)
-                for i, face in enumerate(flat_faces):
-                    if "genderage" in self.allowed_modules:
-                        face.gender = int(gender[i])
-                        face.age = int(age[i])
-                    if "landmark_2d_106" in self.allowed_modules:
-                        face.landmark_2d_106 = lm[i]
+                self._attach_attributes(engine, batch, per_frame)
         return per_frame
 
 
