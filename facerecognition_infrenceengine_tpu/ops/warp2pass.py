@@ -62,6 +62,60 @@ def build_pyramid(frames: jnp.ndarray, levels: int = 4) -> list:
     return out
 
 
+def build_atlas(frames: jnp.ndarray, levels: int = 4):
+    """Pyramid as ONE uint8 image per frame, levels side by side.
+
+    Keeping the pyramid u8 and concatenated means the per-face ROI read is
+    a single small dynamic-slice from one array (the level choice becomes
+    an x-offset) instead of four f32 slices + a 4-way select — the f32
+    pyramid + select dominated the whole warp's device time.  Pooling sums
+    in int32 with round-half-up, so each level is within 0.5 LSB of the f32
+    mean (and level 0 is the input, bit-exact).
+
+    Returns (atlas [B, H_a, W_a, C], offsets: list of (x_off, lw, lh)).
+    The atlas keeps uint8 for uint8 input (the production camera path);
+    float input keeps a float32 atlas so synthetic/HDR frames stay exact.
+    """
+    b, h0, w0, c = frames.shape
+    if frames.dtype == jnp.uint8:
+        x = frames
+        pyr = [x]
+        acc = x.astype(jnp.int32)
+        for lvl in range(1, levels):
+            bb, h, w, _ = acc.shape
+            acc = acc.reshape(bb, h // 2, 2, w // 2, 2, c).sum(axis=(2, 4))
+            # acc holds 4**lvl-pixel sums; round-half-up to u8 per level
+            denom = 4 ** lvl
+            pyr.append(((acc + denom // 2) // denom).astype(jnp.uint8))
+    else:
+        x = frames.astype(jnp.float32)
+        pyr = [x]
+        for _ in range(1, levels):
+            bb, h, w, _ = x.shape
+            x = x.reshape(bb, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+            pyr.append(x)
+    h_a = max(max(p.shape[1] for p in pyr), ROI)
+    cols, offsets = [], []
+    x_off = 0
+    for p in pyr:
+        _, lh, lw, _ = p.shape
+        # edge-pad (border-replicate) up to the ROI window so clamped slices
+        # of tiny levels read replicated borders, not zeros...
+        pad_w = max(ROI - lw, 0)
+        pad_h_edge = max(ROI - lh, 0)
+        if pad_w or pad_h_edge:
+            p = jnp.pad(p, ((0, 0), (0, pad_h_edge), (0, pad_w), (0, 0)),
+                        mode="edge")
+        # ...then zero-fill the never-read rows down to the atlas height.
+        pad_h_zero = h_a - p.shape[1]
+        if pad_h_zero:
+            p = jnp.pad(p, ((0, 0), (0, pad_h_zero), (0, 0), (0, 0)))
+        cols.append(p)
+        offsets.append((x_off, max(lw, ROI), max(lh, ROI)))
+        x_off += p.shape[2]
+    return jnp.concatenate(cols, axis=2), offsets
+
+
 def _hat_weights(coords: jnp.ndarray, n_in: int) -> jnp.ndarray:
     """coords [..., K] -> hat (linear interp) weights [..., K, n_in].
 
@@ -142,9 +196,17 @@ def extract_rois_from_affines(
     out_size: int,
     levels: int = 4,
 ):
-    """As extract_rois, but from per-face dst->src affines [M, 2, 3]."""
-    pyr = build_pyramid(frames, levels)
+    """As extract_rois, but from per-face dst->src affines [M, 2, 3].
+
+    The pyramid lives as one u8 atlas (levels side by side), so selecting a
+    face's level is arithmetic on the slice origin — each face costs exactly
+    one small dynamic-slice, converted to f32 only after cropping.
+    """
+    atlas, offsets = build_atlas(frames, levels)
     c = frames.shape[-1]
+    x_offs = jnp.asarray([o[0] for o in offsets], jnp.int32)
+    lws = jnp.asarray([o[1] for o in offsets], jnp.int32)
+    lhs_ = jnp.asarray([o[2] for o in offsets], jnp.int32)
 
     def one(fidx, m_inv):
         # Scale of dst->src (pixels of source per output pixel).
@@ -159,35 +221,26 @@ def extract_rois_from_affines(
         cx = m_inv[0, 0] * (out_size / 2) + m_inv[0, 1] * (out_size / 2) + m_inv[0, 2]
         cy = m_inv[1, 0] * (out_size / 2) + m_inv[1, 1] * (out_size / 2) + m_inv[1, 2]
 
-        # Extract the ROI at every level (one fused frame+crop dynamic-slice
-        # each — cheap DMA), select the face's level, then warp ONCE.
-        rois, mats = [], []
-        for l in range(levels):
-            s = 2 ** l
-            lh, lw = pyr[l].shape[1], pyr[l].shape[2]
-            # Level pixel i is the mean of source pixels [s*i, s*i + s), so
-            # its center sits at source coordinate s*i + (s-1)/2: level
-            # coords are (src - (s-1)/2) / s, not src/s (a half-pixel shift
-            # per octave that visibly smears coarse-level crops otherwise).
-            shift = (s - 1) / 2.0
-            x0 = jnp.clip(jnp.round((cx - shift) / s - ROI / 2).astype(jnp.int32),
-                          0, lw - ROI)
-            y0 = jnp.clip(jnp.round((cy - shift) / s - ROI / 2).astype(jnp.int32),
-                          0, lh - ROI)
-            roi = jax.lax.dynamic_slice(
-                pyr[l], (fidx, y0, x0, 0), (1, ROI, ROI, c))[0]
-            # Adjust dst->src matrix into ROI/level coordinates.
-            adj = jnp.array([[1.0 / s, 0.0], [0.0, 1.0 / s]], jnp.float32)
-            m_l = jnp.concatenate(
-                [adj @ m_inv[:, :2],
-                 ((m_inv[:, 2] - shift) / s
-                  - jnp.stack([x0, y0]).astype(jnp.float32))[:, None]],
-                axis=1)
-            rois.append(roi)
-            mats.append(m_l)
-        roi_sel = jnp.stack(rois)[lvl]  # [ROI, ROI, C]
-        m_sel = jnp.stack(mats)[lvl]  # [2, 3]
-        return roi_sel, m_sel
+        # Level pixel i is the mean of source pixels [s*i, s*i + s), so its
+        # center sits at source coordinate s*i + (s-1)/2: level coords are
+        # (src - (s-1)/2) / s, not src/s (a half-pixel shift per octave that
+        # visibly smears coarse-level crops otherwise).
+        s = jnp.exp2(lvl.astype(jnp.float32))
+        shift = (s - 1.0) / 2.0
+        x0 = jnp.clip(jnp.round((cx - shift) / s - ROI / 2).astype(jnp.int32),
+                      0, lws[lvl] - ROI)
+        y0 = jnp.clip(jnp.round((cy - shift) / s - ROI / 2).astype(jnp.int32),
+                      0, lhs_[lvl] - ROI)
+        roi = jax.lax.dynamic_slice(
+            atlas, (fidx, y0, x_offs[lvl] + x0, 0),
+            (1, ROI, ROI, c))[0].astype(jnp.float32)
+        # Adjust dst->src matrix into ROI/level coordinates.
+        m_sel = jnp.concatenate(
+            [m_inv[:, :2] / s,
+             ((m_inv[:, 2] - shift) / s
+              - jnp.stack([x0, y0]).astype(jnp.float32))[:, None]],
+            axis=1)
+        return roi, m_sel
 
     return jax.vmap(one)(frame_idx, m_inv_batch)
 
