@@ -75,7 +75,8 @@ class CameraManager:
             except Exception as e:
                 logger.error("Recognition error on %s: %s", source, e)
                 continue
-            results = self._match_and_annotate(frame, faces, company_id)
+            _, results = self.processor.match_faces(frame, faces, company_id,
+                                                    draw=True)
             if self.on_result:
                 self.on_result(source, frame, results)
             if self.display:
@@ -84,36 +85,6 @@ class CameraManager:
                     self.running = False
         cap.release()
         logger.info("Camera %s released", source)
-
-    def _match_and_annotate(self, frame, faces, company_id):
-        import numpy as np
-
-        from .counting import CountingProcessor  # noqa: F401 (shape parity)
-        from ..engine.recognizer import draw_enhanced_bounding_box, GREEN, RED, YELLOW
-
-        results = []
-        if not faces:
-            return results
-        embs = np.stack([f.normed_embedding for f in faces])
-        embs = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
-        scores, ids, metadata = self.gallery.match(embs, company_id=company_id)
-        thresh = self.cfg.thresholds.recognition
-        for face, score_row, id_row in zip(faces, scores, ids):
-            best_score = float(score_row[0])
-            best_id = id_row[0]
-            if best_id is not None and best_score >= thresh:
-                info = metadata[best_id]
-                color = GREEN if info["type"] == "employee" else YELLOW
-                rec_score = best_score
-            else:
-                info = {"name": "Unknown", "type": "unknown"}
-                color = RED
-                rec_score = 0.0
-            draw_enhanced_bounding_box(frame, face.bbox.astype(int), color,
-                                       info, face.det_score, rec_score)
-            results.append({"person_info": info, "similarity": best_score,
-                            "bbox": face.bbox.astype(int).tolist()})
-        return results
 
     def start_cameras(self, sources: list, company_id: str):
         self._ensure_runtime()

@@ -106,7 +106,6 @@ class GalleryManager:
         self.metadata: Dict[str, dict] = {}
         self._company_ids: Dict[str, set] = {}  # company -> person-id set
         self._snapshots: Dict[str, _CompanySnapshot] = {}
-        self._global_snapshot: _CompanySnapshot | None = None
         self._version = 0
         self.last_sync_time = None
         self.is_initial_load = True
@@ -128,44 +127,53 @@ class GalleryManager:
         logger.info("Initial gallery load: %d embeddings", len(self.embeddings))
 
     def _load_updated(self, employees, visitors):
+        # GridFS reads + unpickling happen OUTSIDE the lock (they can take
+        # seconds for a big delta); only the dict swap holds it, so matching
+        # never stalls behind storage I/O.
+        loaded: dict = {}
+        meta: dict = {}
+        for employee in employees:
+            try:
+                pid = str(employee["_id"])
+                entry = employee["employeeEmbeddings"]["buffalo_l"]
+                blob = self.ds.employee_embeddings.get(
+                    ObjectId(str(entry["embeddingId"]))).read()
+                loaded[pid] = _normalize(pickle.loads(blob))
+                meta[pid] = {
+                    "name": employee.get("employeeName", "Unknown"),
+                    "employeeId": employee.get("employeeId", "Unknown"),
+                    "email": employee.get("employeeEmail", ""),
+                    "mobile": employee.get("employeeMobile", ""),
+                    "type": "employee",
+                    "companyId": str(employee.get("companyId")),
+                    "lastUpdated": employee.get("lastUpdated"),
+                }
+            except Exception as e:  # skip unreadable entries, keep serving
+                logger.error("employee embedding load failed for %s: %s",
+                             employee.get("_id"), e)
+        for visitor in visitors:
+            try:
+                pid = str(visitor["_id"])
+                entry = (visitor.get("visitorEmbeddings") or {}).get("buffalo_l") or {}
+                if entry.get("status") != "done" or not entry.get("embeddingId"):
+                    continue
+                blob = self.ds.visitor_embeddings.get(
+                    ObjectId(str(entry["embeddingId"]))).read()
+                loaded[pid] = _normalize(pickle.loads(blob))
+                meta[pid] = {
+                    "name": visitor.get("visitorName", "Unknown"),
+                    "type": "visitor",
+                    "companyId": str(visitor.get("companyId")),
+                    "lastUpdated": visitor.get("lastUpdated"),
+                }
+            except Exception as e:
+                logger.error("visitor embedding load failed for %s: %s",
+                             visitor.get("_id"), e)
+        if not loaded:
+            return
         with self._lock:
-            for employee in employees:
-                try:
-                    pid = str(employee["_id"])
-                    entry = employee["employeeEmbeddings"]["buffalo_l"]
-                    blob = self.ds.employee_embeddings.get(
-                        ObjectId(str(entry["embeddingId"]))).read()
-                    self.embeddings[pid] = _normalize(pickle.loads(blob))
-                    self.metadata[pid] = {
-                        "name": employee.get("employeeName", "Unknown"),
-                        "employeeId": employee.get("employeeId", "Unknown"),
-                        "email": employee.get("employeeEmail", ""),
-                        "mobile": employee.get("employeeMobile", ""),
-                        "type": "employee",
-                        "companyId": str(employee.get("companyId")),
-                        "lastUpdated": employee.get("lastUpdated"),
-                    }
-                except Exception as e:  # skip unreadable entries, keep serving
-                    logger.error("employee embedding load failed for %s: %s",
-                                 employee.get("_id"), e)
-            for visitor in visitors:
-                try:
-                    pid = str(visitor["_id"])
-                    entry = (visitor.get("visitorEmbeddings") or {}).get("buffalo_l") or {}
-                    if entry.get("status") != "done" or not entry.get("embeddingId"):
-                        continue
-                    blob = self.ds.visitor_embeddings.get(
-                        ObjectId(str(entry["embeddingId"]))).read()
-                    self.embeddings[pid] = _normalize(pickle.loads(blob))
-                    self.metadata[pid] = {
-                        "name": visitor.get("visitorName", "Unknown"),
-                        "type": "visitor",
-                        "companyId": str(visitor.get("companyId")),
-                        "lastUpdated": visitor.get("lastUpdated"),
-                    }
-                except Exception as e:
-                    logger.error("visitor embedding load failed for %s: %s",
-                                 visitor.get("_id"), e)
+            self.embeddings.update(loaded)
+            self.metadata.update(meta)
             self._invalidate_locked()
 
     def _remove_inactive(self):
@@ -188,7 +196,6 @@ class GalleryManager:
         self._version += 1
         self._snapshots.clear()
         self._company_ids.clear()
-        self._global_snapshot = None
 
     # ---------------------------------------------------------------- sync
     def start_sync(self):
@@ -273,15 +280,20 @@ class GalleryManager:
         with self._lock:
             ids = [pid for pid in self.embeddings
                    if allowed is None or pid in allowed]
-            matrix = (np.stack([self.embeddings[i] for i in ids])
-                      if ids else np.zeros((0, self.cfg.engine.embed_dim), np.float32))
+            vecs = [self.embeddings[i] for i in ids]  # refs only; cheap
             meta = {i: self.metadata[i] for i in ids}
-            snap = _CompanySnapshot(ids, meta, matrix,
-                                    self.cfg.engine.embed_dim,
-                                    self.cfg.engine.gallery_block)
+        # The expensive parts — stacking a possibly-hundreds-of-MB matrix
+        # and uploading it to the device — run WITHOUT the lock so matching
+        # and syncing never stall behind a snapshot rebuild.
+        matrix = (np.stack(vecs) if ids
+                  else np.zeros((0, self.cfg.engine.embed_dim), np.float32))
+        snap = _CompanySnapshot(ids, meta, matrix,
+                                self.cfg.engine.embed_dim,
+                                self.cfg.engine.gallery_block)
+        with self._lock:
             if self._version == version:
                 self._snapshots[key] = snap
-            return snap
+        return snap
 
     def match(self, query_embeddings, company_id: str | None = None, k: int = 1):
         """Match normalized queries; returns (scores, ids, metadata-dict)."""

@@ -48,6 +48,14 @@ class MicroBatcher:
         self._wakeup.set()
         if self._thread:
             self._thread.join(timeout=5)
+        # Fail open: resolve anything still queued so no waiter blocks
+        # forever on a future whose dispatch loop is gone.
+        with self._lock:
+            pending = [fut for slot in self._slots.values() for _, fut in slot]
+            self._slots.clear()
+        for fut in pending:
+            fut.dropped = True
+            fut.set_result([])
 
     def submit(self, source: Any, frame) -> Future:
         """Queue one frame; returns a Future resolving to list[Face].
@@ -56,6 +64,10 @@ class MicroBatcher:
         (its future gets an empty result) — a live stream must never back up.
         """
         future: Future = Future()
+        if not self.running:
+            future.dropped = True  # type: ignore[attr-defined]
+            future.set_result([])
+            return future
         with self._lock:
             slot = self._slots.setdefault(source, [])
             while len(slot) >= self.cfg.frame_queue_depth:

@@ -112,6 +112,13 @@ class FaceRecognitionProcessor:
         the counting pipeline."""
         app = self._ensure_app()
         faces = app.get(frame)
+        return self.match_faces(frame, faces, company_id, draw=draw)
+
+    def match_faces(self, frame: np.ndarray, faces: list, company_id: str,
+                    draw: bool = True):
+        """Match already-detected faces (e.g. from the micro-batcher) against
+        the gallery and optionally draw the HUD — the single home of the
+        threshold/color/annotation decision logic."""
         results = []
         if not faces:
             return frame, results

@@ -66,6 +66,15 @@ def _synthetic_leaf(path: str, shape, dtype, seed: int) -> np.ndarray:
     """
     leaf = path.rsplit(SEP, 1)[-1]
     npdtype = np.dtype(jnp.dtype(dtype).name if hasattr(dtype, "name") else dtype)
+    # Module-declared non-default initializers that eval_shape cannot see:
+    # SCRFD's classification bias prior (scrfd.py bias_init=-4.595, i.e.
+    # sigmoid ~= 0.01 — without it every anchor scores ~0.5 and hermetic
+    # runs detect max_faces phantom faces per frame) and the per-level
+    # bbox scales (ones init).
+    if path.endswith("SCRFDHead_0/Conv_0/bias"):
+        return np.full(shape, -4.595, npdtype)
+    if leaf.startswith("bbox_scale"):
+        return np.ones(shape, npdtype)
     if leaf in ("bias", "mean"):
         return np.zeros(shape, npdtype)
     if leaf in ("scale", "var"):

@@ -46,14 +46,6 @@ def letterbox(frame: np.ndarray, canvas_hw: tuple) -> tuple:
     return canvas, scale
 
 
-def _pad_to_multiple(frame: np.ndarray, mult: int = 8) -> np.ndarray:
-    h, w = frame.shape[:2]
-    ph, pw = (-h) % mult, (-w) % mult
-    if ph or pw:
-        frame = np.pad(frame, ((0, ph), (0, pw), (0, 0)), mode="edge")
-    return frame
-
-
 class FaceAnalysis:
     """TPU-backed implementation of the insightface facade."""
 
@@ -91,7 +83,7 @@ class FaceAnalysis:
         faces_batch = self.get_batch([frame], max_num=max_num)
         return faces_batch[0]
 
-    def _get_batch_fused(self, engine, stacked, scales, frames,
+    def _get_batch_fused(self, engine, stacked, scales,
                          max_num: int) -> list:
         """One detect+align+embed program, one pixel upload (scale==1 only)."""
         boxes, det_scores, kps, valid, emb = engine.detect_align_embed(
@@ -138,6 +130,8 @@ class FaceAnalysis:
         """Batched variant (the TPU-native entry the micro-batcher uses)."""
         from ..engine.pipeline import bucket
 
+        if not frames:
+            return []
         engine = self._ensure_engine()
         canvases = []
         scales = []
@@ -163,8 +157,7 @@ class FaceAnalysis:
         # dominant cost when the host<->device link is thin.
         want_embed = "recognition" in self.allowed_modules
         if want_embed and all(s == 1.0 for s in scales):
-            return self._get_batch_fused(engine, stacked, scales, frames,
-                                         max_num)
+            return self._get_batch_fused(engine, stacked, scales, max_num)
         det = engine.detect(stacked, det_threshold=self.det_thresh)
 
         # collect all faces across frames, map coords back to native frames

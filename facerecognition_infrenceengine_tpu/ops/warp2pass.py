@@ -36,30 +36,8 @@ import jax.numpy as jnp
 from .align import ARCFACE_DST, umeyama_similarity, _invert_affine
 
 ROI = 192  # static ROI window (source pixels) per face, per pyramid level
-MARGIN = 1.35  # ROI must cover out_size / scale * MARGIN
-
-
-def build_pyramid(frames: jnp.ndarray, levels: int = 4) -> list:
-    """[B, H, W, C] -> list of ``levels`` average-pooled frames (f32).
-
-    Level l is the input downscaled by 2**l via 2x2 mean pooling; H and W
-    must be divisible by 2**(levels-1).  Levels smaller than the ROI window
-    are edge-padded up to it once here (not per face).
-    """
-    x = frames.astype(jnp.float32)
-    pyr = [x]
-    for _ in range(levels - 1):
-        b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
-        pyr.append(x)
-    out = []
-    for lv in pyr:
-        b, h, w, c = lv.shape
-        if h < ROI or w < ROI:
-            lv = jnp.pad(lv, ((0, 0), (0, max(ROI - h, 0)),
-                              (0, max(ROI - w, 0)), (0, 0)), mode="edge")
-        out.append(lv)
-    return out
+HALO = 3.0  # extra source pixels beyond the crop's exact axis-aligned
+            # extent: bilinear taps (1) + ROI-origin rounding (1) + slack
 
 
 def build_atlas(frames: jnp.ndarray, levels: int = 4):
@@ -209,10 +187,14 @@ def extract_rois_from_affines(
     lhs_ = jnp.asarray([o[2] for o in offsets], jnp.int32)
 
     def one(fidx, m_inv):
-        # Scale of dst->src (pixels of source per output pixel).
-        inv_scale = jnp.sqrt(jnp.abs(
-            m_inv[0, 0] * m_inv[1, 1] - m_inv[0, 1] * m_inv[1, 0]))
-        span = out_size * inv_scale * MARGIN
+        # Exact axis-aligned extent of the crop's inverse image: the source
+        # region sampled is a parallelogram whose half-extents are
+        # (|m00|+|m01|)*out/2 in x and (|m10|+|m11|)*out/2 in y.  Using the
+        # exact per-face extent (not a global scale*margin bound) keeps
+        # near-ROI-sized faces on the finest level that truly fits.
+        span_x = (jnp.abs(m_inv[0, 0]) + jnp.abs(m_inv[0, 1])) * out_size + HALO
+        span_y = (jnp.abs(m_inv[1, 0]) + jnp.abs(m_inv[1, 1])) * out_size + HALO
+        span = jnp.maximum(span_x, span_y)
         # Smallest level whose scaled span fits the ROI window.
         lvl_f = jnp.ceil(jnp.log2(jnp.maximum(span / ROI, 1.0)))
         lvl = jnp.clip(lvl_f.astype(jnp.int32), 0, levels - 1)

@@ -18,7 +18,7 @@ from facerecognition_infrenceengine_tpu.ops.align import (
     _invert_affine,
 )
 from facerecognition_infrenceengine_tpu.ops.warp2pass import (
-    MARGIN,
+    HALO,
     ROI,
     warp_faces_two_pass,
 )
@@ -69,13 +69,12 @@ def test_two_pass_matches_exact_within_budget(theta_deg):
 
 def test_large_face_uses_pyramid_and_stays_close():
     frame = smooth_frame()
-    # scale 3.0: source span = 112*3*MARGIN > ROI -> level >= 1
+    # scale 3.0: source extent > ROI -> level >= 1
     kps = kps_for(0.15, 3.0, (320, 240))
     m_inv = _invert_affine(umeyama_similarity(jnp.asarray(kps),
                                               jnp.asarray(ARCFACE_DST)))
-    inv_scale = float(jnp.sqrt(jnp.abs(
-        m_inv[0, 0] * m_inv[1, 1] - m_inv[0, 1] * m_inv[1, 0])))
-    assert 112 * inv_scale * MARGIN > ROI  # really exercises a coarser level
+    span = float((jnp.abs(m_inv[0, 0]) + jnp.abs(m_inv[0, 1])) * 112) + HALO
+    assert span > ROI  # really exercises a coarser level
     want = exact_warp(frame, kps)
     got = np.asarray(warp_faces_two_pass(
         jnp.asarray(frame)[None], jnp.zeros(1, jnp.int32),
