@@ -29,14 +29,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compile cache: the fused program is large; caching makes
-# repeat bench runs start in seconds instead of minutes (no-op if the
-# backend doesn't support it).
+# TPU-only persistent compile cache (XLA:CPU AOT entries are
+# machine-specific and can SIGILL elsewhere).
 try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax as _jax_cache_gate
+    if _jax_cache_gate.default_backend() == "tpu":
+        _jax_cache_gate.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        _jax_cache_gate.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
 

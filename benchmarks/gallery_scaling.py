@@ -19,12 +19,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# TPU-only persistent compile cache (XLA:CPU AOT entries are
+# machine-specific and can SIGILL elsewhere).
 try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
+    import jax as _jax_cache_gate
+    if _jax_cache_gate.default_backend() == "tpu":
+        _jax_cache_gate.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+        _jax_cache_gate.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+
 
 
 def loop_time(run, n1=64, n2=1024, reps=5):

@@ -257,3 +257,30 @@ class FaceEngine:
             self.det_variables, self.rec_variables, jnp.asarray(frames_u8),
             jnp.float32(det_threshold),
         )
+
+    def make_sharded_fused(self, mesh):
+        """Data-parallel fused program over a mesh's 'data' axis.
+
+        Model variables replicate; the frame batch shards over 'data', so N
+        chips serve N x the single-chip throughput with no cross-chip
+        communication (detection is embarrassingly parallel over frames —
+        the collectives live in the gallery match, parallel/topk.py).
+
+        Returns fn(frames_u8 [B, H, W, 3], det_threshold) with B divisible
+        by the data-axis size.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P("data", None, None, None))
+        det_vars = jax.device_put(self.det_variables, replicated)
+        rec_vars = jax.device_put(self.rec_variables, replicated)
+        fused = jax.jit(self._fused_impl,
+                        in_shardings=(replicated, replicated, batch_sh, None),
+                        static_argnums=())
+
+        def run(frames_u8, det_threshold: float = 0.3):
+            frames = jax.device_put(jnp.asarray(frames_u8), batch_sh)
+            return fused(det_vars, rec_vars, frames, jnp.float32(det_threshold))
+
+        return run
