@@ -13,6 +13,8 @@ citations inline).  Two deliberate deviations from reference bugs:
 
 from __future__ import annotations
 
+import re
+
 import datetime
 
 from ..store.client import Datastore
@@ -108,7 +110,9 @@ def make_company_bp(ds: Datastore, cfg=None) -> Blueprint:
         # reference company.py:97-114
         query = {}
         if request.args.get("name"):
-            query["companyName"] = {"$regex": request.args["name"], "$options": "i"}
+            # literal substring search: unescaped metacharacters would 500
+            query["companyName"] = {"$regex": re.escape(request.args["name"]),
+                                    "$options": "i"}
         if request.args.get("status"):
             query["status"] = request.args["status"]
         out = [_stringify(c) for c in companies.find(query)]

@@ -53,6 +53,13 @@ class RateLimiter:
         now = time.time()
         with self._lock:
             window = now - self.period
+            # prune idle IPs occasionally so the dict doesn't grow with
+            # client churn (one full sweep per ~1000 calls amortizes fine)
+            self._calls = getattr(self, "_calls", 0) + 1
+            if self._calls % 1000 == 0:
+                for stale in [k for k, v in self._hits.items()
+                              if not v or v[-1] <= window]:
+                    del self._hits[stale]
             hits = [t for t in self._hits[ip] if t > window]
             if len(hits) >= self.limit:
                 self._hits[ip] = hits
@@ -179,6 +186,23 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
                     })
                 image_dict[pose] = image_id
 
+            # Re-registration replaces the biometric data wholesale: the new
+            # pose images supersede the old ones and every model re-enrolls.
+            # Delete the superseded GridFS blobs so they don't orphan.
+            if existing:
+                for old_id in (existing.get("employeeImages") or {}).values():
+                    try:
+                        ds.employee_images.delete(ObjectId(str(old_id)))
+                    except Exception:
+                        pass
+                for entry in (existing.get("employeeEmbeddings") or {}).values():
+                    if entry.get("embeddingId"):
+                        try:
+                            ds.employee_embeddings.delete(
+                                ObjectId(str(entry["embeddingId"])))
+                        except Exception:
+                            pass
+
             employee_doc = build_employee_doc(data, image_dict, embeddings_dict)
             ds.employee_info.update_one(
                 {"companyId": ObjectId(data["companyId"]),
@@ -192,22 +216,16 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
 
             # queue one embedding job per allowed model (employee.py:163-178)
             for model in cfg.api.allowed_models:
-                model_status = (employee.get("employeeEmbeddings", {})
-                                .get(model, {}).get("status")) if employee else None
-                if model_status not in ("queued", "started", "inprogress",
-                                        "done", "active"):
-                    ds.embedding_jobs.insert_one({
-                        "employeeId": employee["_id"],
-                        "companyId": ObjectId(data["companyId"]),
-                        "model": model,
-                        "status": "queued",
-                        "createdAt": get_current_utc(),
-                        "params": {},
-                    })
-                    embeddings_dict[model] = {"status": "queued",
-                                              "queuedAt": get_current_utc()}
-                elif model in employee.get("employeeEmbeddings", {}):
-                    embeddings_dict[model] = employee["employeeEmbeddings"][model]
+                ds.embedding_jobs.insert_one({
+                    "employeeId": employee["_id"],
+                    "companyId": ObjectId(data["companyId"]),
+                    "model": model,
+                    "status": "queued",
+                    "createdAt": get_current_utc(),
+                    "params": {},
+                })
+                embeddings_dict[model] = {"status": "queued",
+                                          "queuedAt": get_current_utc()}
 
             if embedding_attached:
                 if not embedding_version or "embedding" not in request.files:

@@ -18,6 +18,7 @@ frontend's parsers keep working.
 from __future__ import annotations
 
 import datetime
+import re
 
 from ..core.config import Config
 from ..store.client import Datastore
@@ -306,10 +307,47 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
             return jsonify({"error": f"Entity validation failed: {err}"}), 400
         data = dict(data)
         data.pop("_id", None)
+        data.pop("path", None)  # materialized path is derived, never client-set
+        if "parentId" in data:
+            # Re-parenting changes the materialized path of the whole
+            # subtree — same rules and rewriting as /entities/<id>/move
+            # (a verbatim $set would corrupt descendants/ancestors/delete).
+            new_parent_id = data.pop("parentId")
+            move_err = _reparent(existing, new_parent_id)
+            if move_err is not None:
+                return move_err
         data["updatedAt"] = get_current_utc()
         result = entities.update_one({"_id": ObjectId(entity_id)}, {"$set": data})
         return jsonify({"message": "Entity updated successfully",
                         "modified": result.modified_count > 0})
+
+    def _reparent(entity, new_parent_id):
+        """Shared re-parent: validates and rewrites the subtree's paths.
+        Returns an error response tuple, or None on success."""
+        if new_parent_id is None:
+            new_parent, new_path = None, []
+        else:
+            try:
+                new_parent = entities.find_one({"_id": ObjectId(str(new_parent_id))})
+            except Exception:
+                new_parent = None
+            if not new_parent:
+                return jsonify({"error": "New parent entity not found"}), 404
+            if entity["_id"] == new_parent["_id"]:
+                return jsonify({"error": "Cannot move entity under itself"}), 400
+            if entity["_id"] in new_parent["path"]:
+                return jsonify({"error": "Cannot move entity to its own "
+                                         "descendant"}), 400
+            new_path = new_parent["path"] + [new_parent["_id"]]
+        old_path = entity["path"]
+        entities.update_one({"_id": entity["_id"]}, {"$set": {
+            "parentId": new_parent["_id"] if new_parent else None,
+            "path": new_path, "updatedAt": get_current_utc()}})
+        for desc in entities.find({"path": entity["_id"]}):
+            new_desc_path = new_path + desc["path"][len(old_path):]
+            entities.update_one({"_id": desc["_id"]}, {"$set": {
+                "path": new_desc_path, "updatedAt": get_current_utc()}})
+        return None
 
     @bp.route("/entities", methods=["GET"])
     def get_entities():
@@ -374,7 +412,10 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
     @bp.route("/entities/<entity_id>", methods=["DELETE"])
     def delete_entity(entity_id):
         # reference entity.py:443-457 (recursive delete + asset cleanup)
-        oid = ObjectId(entity_id)
+        try:
+            oid = ObjectId(entity_id)
+        except Exception:
+            return jsonify({"error": "Invalid entity ID"}), 400
         entities.delete_many({"$or": [{"_id": oid}, {"path": oid}]})
         assets.delete_many({"entityId": oid})
         return jsonify({"success": True})
@@ -385,25 +426,15 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         data = request.get_json(silent=True)
         if not data or "newParentId" not in data:
             return jsonify({"error": "New parent ID is required"}), 400
-        entity = entities.find_one({"_id": ObjectId(entity_id)})
-        new_parent = entities.find_one({"_id": ObjectId(data["newParentId"])})
+        try:
+            entity = entities.find_one({"_id": ObjectId(entity_id)})
+        except Exception:
+            return jsonify({"error": "Invalid entity ID"}), 400
         if not entity:
             return jsonify({"error": "Entity not found"}), 404
-        if not new_parent:
-            return jsonify({"error": "New parent entity not found"}), 404
-        if ObjectId(entity_id) == new_parent["_id"]:
-            return jsonify({"error": "Cannot move entity under itself"}), 400
-        if ObjectId(entity_id) in new_parent["path"]:
-            return jsonify({"error": "Cannot move entity to its own descendant"}), 400
-        old_path = entity["path"]
-        new_path = new_parent["path"] + [new_parent["_id"]]
-        entities.update_one({"_id": ObjectId(entity_id)}, {"$set": {
-            "parentId": new_parent["_id"], "path": new_path,
-            "updatedAt": get_current_utc()}})
-        for desc in entities.find({"path": ObjectId(entity_id)}):
-            new_desc_path = new_path + desc["path"][len(old_path):]
-            entities.update_one({"_id": desc["_id"]}, {"$set": {
-                "path": new_desc_path, "updatedAt": get_current_utc()}})
+        err = _reparent(entity, data["newParentId"])
+        if err is not None:
+            return err
         return jsonify({"message": "Entity moved successfully"})
 
     # -------------------------------------------------------------- assets
@@ -592,8 +623,11 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
                        .get(etype, {}).get("designation"))
         manager_info = entity.get("manager", {"status": "vacant"})
         if manager_info.get("employeeId"):
+            # scope by company: employeeId is a business key, unique only
+            # per company — an unscoped lookup can leak another tenant's doc
             employee = employees.find_one(
-                {"employeeId": manager_info["employeeId"]})
+                {"employeeId": manager_info["employeeId"],
+                 "companyId": entity["companyId"]})
             if employee:
                 manager_info["employeeName"] = employee.get("employeeName")
                 manager_info["employeeEmail"] = employee.get("employeeEmail")
@@ -741,7 +775,8 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         enhanced = []
         for reportee in reportees:
             asset = assets.find_one({"type": "employee",
-                                     "metadata.employeeId": reportee["employeeId"]})
+                                     "metadata.employeeId": reportee["employeeId"],
+                                     "orgId": ObjectId(company_id)})
             entity = entities.find_one({"_id": asset["entityId"]}) if asset else None
             if entity:
                 enhanced.append({
@@ -768,10 +803,11 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         query = {"companyId": ObjectId(company_id), "status": "active"}
         search_term = request.args.get("search")
         if search_term:
+            escaped = re.escape(search_term)  # literal substring search
             query["$or"] = [
-                {"employeeName": {"$regex": search_term, "$options": "i"}},
-                {"employeeEmail": {"$regex": search_term, "$options": "i"}},
-                {"employeeId": {"$regex": search_term, "$options": "i"}},
+                {"employeeName": {"$regex": escaped, "$options": "i"}},
+                {"employeeEmail": {"$regex": escaped, "$options": "i"}},
+                {"employeeId": {"$regex": escaped, "$options": "i"}},
             ]
         if request.args.get("designation"):
             query["employeeDesignation"] = request.args["designation"]
@@ -795,7 +831,8 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         enhanced = []
         for employee in found:
             asset = assets.find_one({"type": "employee",
-                                     "metadata.employeeId": employee["employeeId"]})
+                                     "metadata.employeeId": employee["employeeId"],
+                                     "orgId": ObjectId(company_id)})
             entity = entities.find_one({"_id": asset["entityId"]}) if asset else None
             if entity:
                 enhanced.append({
@@ -835,16 +872,21 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
                 current = manager
             return chain
 
-        def reportees_tree(emp):
+        def reportees_tree(emp, seen=None):
+            # cycle guard: employeeReportingId is caller-settable, so A->B->A
+            # (or self-reporting) must terminate, not recurse to a 500
+            seen = set(seen or ()) | {emp["employeeId"]}
             out = []
             for reportee in employees.find({
                     "employeeReportingId": emp["employeeId"],
                     "companyId": ObjectId(company_id),
                     "status": "active"}):
+                if reportee["employeeId"] in seen:
+                    continue
                 out.append({"employeeId": reportee["employeeId"],
                             "employeeName": reportee["employeeName"],
                             "designation": reportee.get("employeeDesignation"),
-                            "reportees": reportees_tree(reportee)})
+                            "reportees": reportees_tree(reportee, seen)})
             return out
 
         return jsonify({

@@ -241,15 +241,37 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
             if not ok:
                 return error_response(msg, 400)
             arrival = parse_datetime(data["expectedArrival"])
-            new_end = parse_datetime(data.get("expectedDeparture",
-                                              data["expectedArrival"]))
-            if has_overlapping_visit(visitor_id, arrival, new_end):
-                return error_response("Visitor already has an overlapping visit.", 409)
+            if data.get("expectedDeparture"):
+                new_end = parse_datetime(data["expectedDeparture"])
+            else:
+                # a zero-length window would make verify-qr reject the pass
+                # as expired the instant it's scanned; default to a 1-hour
+                # visit (documented deliberate choice)
+                new_end = arrival + timedelta(hours=1)
+            if new_end <= arrival:
+                return error_response(
+                    "expectedDeparture must be after expectedArrival", 400)
 
             visitor_ids = data.get("visitorIds", [visitor_id])
-            visitor_obj_ids = [ObjectId(v) for v in visitor_ids]
+            try:
+                visitor_obj_ids = [ObjectId(str(v)) for v in visitor_ids]
+            except Exception:
+                return error_response("Invalid visitor ID in visitorIds", 400)
             company_obj_id = ObjectId(data["companyId"])
             host_obj_id = ObjectId(data["hostEmployeeId"])
+
+            # every visitor in the group must exist, belong to the company,
+            # and be free in the window — not just the URL visitor
+            for oid in visitor_obj_ids:
+                v_doc = ds.visitors.find_one({"_id": oid})
+                if not v_doc:
+                    return error_response(f"Visitor {oid} not found", 404)
+                if str(v_doc.get("companyId")) != str(company_obj_id):
+                    return error_response(
+                        f"Visitor {oid} does not belong to the company", 403)
+                if has_overlapping_visit(oid, arrival, new_end):
+                    return error_response(
+                        "Visitor already has an overlapping visit.", 409)
 
             visit_doc = build_visit_doc(
                 visitor_obj_ids[0] if len(visitor_obj_ids) == 1 else visitor_obj_ids,

@@ -34,7 +34,6 @@ import numpy as np
 from ..api.utils import get_current_utc
 from ..core.config import CampusConfig, Config, get_config
 from ..store.client import Datastore
-from ..store.documents import UpdateOne
 
 logger = logging.getLogger("fre.campus")
 
@@ -460,7 +459,9 @@ class CampusPeopleManager:
             self.pending_updates.clear()
             self.pending_events.clear()
         if updates:
-            ops = [UpdateOne(u["filter"], u["update"], upsert=u["upsert"])
+            # ds.UpdateOne is the backend's own request type — pymongo
+            # rejects the embedded store's class and vice versa
+            ops = [self.ds.UpdateOne(u["filter"], u["update"], upsert=u["upsert"])
                    for u in updates]
             self.ds.people_status.bulk_write(ops, ordered=False)
         if events:

@@ -49,6 +49,12 @@ class CountingProcessor:
         stats = {"faces": len(faces), "recognized": 0, "unknown": 0}
         if not faces:
             return stats
+        # empty-gallery guard (peopleCount.py:850-855): every face would
+        # score -1.0 and flood the unknown-person clusters otherwise —
+        # here, not just in process_frame, so the micro-batcher path is
+        # covered too
+        if self.gallery.get_stats()["total_embeddings"] == 0:
+            return stats
         timestamp = get_current_utc()
         embs = np.stack([f.normed_embedding for f in faces])
         embs = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
@@ -72,9 +78,6 @@ class CountingProcessor:
 
     def process_frame(self, frame: np.ndarray, camera_id: str) -> dict:
         app = self._ensure_app()
-        emb_count = self.gallery.get_stats()["total_embeddings"]
-        if emb_count == 0:
-            return {"faces": 0, "recognized": 0, "unknown": 0}
         faces = app.get(frame)
         return self.process_faces(faces, camera_id)
 

@@ -150,7 +150,8 @@ class FaceEmbeddingWorker:
         return True, None
 
     def _check_duplicate_face(self, new_embedding, company_id, collection,
-                              id_field: str, exclude_doc_id=None):
+                              id_field: str, exclude_doc_id=None,
+                              model: str = "buffalo_l"):
         """Company-wide duplicate scan as one matmul.
 
         Same decision rule as the reference (cos > 0.4 against any enrolled
@@ -165,11 +166,11 @@ class FaceEmbeddingWorker:
         ids, vectors = [], []
         for doc in collection.find({
                 "companyId": company_id,
-                f"{key}.buffalo_l.embeddingId": {"$exists": True}}):
+                f"{key}.{model}.embeddingId": {"$exists": True}}):
             if exclude_doc_id is not None and doc["_id"] == exclude_doc_id:
                 continue
             try:
-                entry = doc[key]["buffalo_l"]
+                entry = doc[key][model]
                 blob = fs.get(ObjectId(str(entry["embeddingId"]))).read()
                 vec = np.asarray(pickle.loads(blob), np.float32).reshape(-1)
                 n = np.linalg.norm(vec)
@@ -215,6 +216,9 @@ class FaceEmbeddingWorker:
             embedding_fs = (self.ds.visitor_embeddings if is_visitor
                             else self.ds.employee_embeddings)
             key = f"{id_field}Embeddings"
+            # write results under the JOB's model key — a worker configured
+            # for a different model must not clobber another model's entry
+            model = job.get("model", self.cfg.model_name)
 
             jobs.update_one({"_id": job_id}, {"$set": {
                 "status": JobStatus.STARTED.value,
@@ -222,8 +226,8 @@ class FaceEmbeddingWorker:
                 "workerId": self.worker_id}})
             collection.update_one(
                 {"companyId": company_id, "_id": doc_id},
-                {"$set": {f"{key}.buffalo_l.status": JobStatus.STARTED.value,
-                          f"{key}.buffalo_l.startedAt": get_current_utc()}})
+                {"$set": {f"{key}.{model}.status": JobStatus.STARTED.value,
+                          f"{key}.{model}.startedAt": get_current_utc()}})
 
             doc = collection.find_one({"companyId": company_id, "_id": doc_id})
             if doc is None:
@@ -253,9 +257,9 @@ class FaceEmbeddingWorker:
                          f"{positions[j]} images")
                 collection.update_one(
                     {"companyId": company_id, "_id": doc_id},
-                    {"$set": {f"{key}.buffalo_l.status": JobStatus.FAILED.value,
-                              f"{key}.buffalo_l.error": error,
-                              f"{key}.buffalo_l.finishedAt": get_current_utc(),
+                    {"$set": {f"{key}.{model}.status": JobStatus.FAILED.value,
+                              f"{key}.{model}.error": error,
+                              f"{key}.{model}.finishedAt": get_current_utc(),
                               "status": "incomplete"}})
                 self._fail_job(job_id, error)
                 return False
@@ -264,13 +268,13 @@ class FaceEmbeddingWorker:
 
             is_dup, dup_id = self._check_duplicate_face(
                 avg_embedding, company_id, collection, id_field,
-                exclude_doc_id=doc_id)
+                exclude_doc_id=doc_id, model=model)
             if is_dup:
                 collection.update_one(
                     {"companyId": company_id, "_id": doc_id},
-                    {"$set": {f"{key}.buffalo_l.status": JobStatus.DUPLICATE.value,
-                              f"{key}.buffalo_l.duplicateOf": dup_id,
-                              f"{key}.buffalo_l.finishedAt": get_current_utc(),
+                    {"$set": {f"{key}.{model}.status": JobStatus.DUPLICATE.value,
+                              f"{key}.{model}.duplicateOf": dup_id,
+                              f"{key}.{model}.finishedAt": get_current_utc(),
                               "status": "pending_duplicate_removal"}})
                 jobs.update_one({"_id": job_id}, {"$set": {
                     "status": JobStatus.DUPLICATE.value,
@@ -280,9 +284,9 @@ class FaceEmbeddingWorker:
 
             embedding_id = embedding_fs.put(
                 pickle.dumps(avg_embedding.astype(np.float32)),
-                filename=f"{company_id}_{doc_id}_buffalo_l.pkl",
+                filename=f"{company_id}_{doc_id}_{model}.pkl",
                 metadata={"companyId": company_id, f"{id_field}Id": doc_id,
-                          "model": "buffalo_l", "type": "embedding",
+                          "model": model, "type": "embedding",
                           "timestamp": get_current_utc()})
             emb_entry = {
                 "embeddingId": embedding_id,
@@ -294,7 +298,7 @@ class FaceEmbeddingWorker:
             }
             collection.update_one(
                 {"companyId": company_id, "_id": doc_id},
-                {"$set": {f"{key}.buffalo_l": emb_entry,
+                {"$set": {f"{key}.{model}": emb_entry,
                           # bump lastUpdated so gallery delta-sync picks it up
                           "lastUpdated": get_current_utc()}})
             jobs.update_one({"_id": job_id}, {"$set": {

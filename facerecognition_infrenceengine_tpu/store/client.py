@@ -19,6 +19,12 @@ _instances: dict = {}
 
 
 def _make_backend(cfg: Config):
+    """-> (db, make_fs, update_one_cls) for the chosen backend.
+
+    ``update_one_cls`` is the bulk-op request type the backend's
+    ``bulk_write`` accepts — pymongo rejects the embedded store's UpdateOne
+    and vice versa, so writers must use ``Datastore.UpdateOne``.
+    """
     uri = cfg.db.mongodb_uri
     if uri.startswith("mongodb"):
         try:
@@ -27,14 +33,16 @@ def _make_backend(cfg: Config):
 
             client = pymongo.MongoClient(uri)
             db = client[cfg.db.database_name]
-            return db, lambda name: real_gridfs.GridFS(db, collection=name)
+            return (db, lambda name: real_gridfs.GridFS(db, collection=name),
+                    pymongo.UpdateOne)
         except ImportError:
             raise RuntimeError(
                 "MONGODB_URI is set to a mongodb:// URI but pymongo is not "
                 "installed; install pymongo or use memory://"
             )
     db = documents.Database(cfg.db.database_name)
-    return db, lambda name: gridfs.GridFS(db, collection=name)
+    return (db, lambda name: gridfs.GridFS(db, collection=name),
+            documents.UpdateOne)
 
 
 class Datastore:
@@ -43,7 +51,7 @@ class Datastore:
     def __init__(self, cfg: Config | None = None):
         cfg = cfg or get_config()
         self.cfg = cfg
-        self.db, make_fs = _make_backend(cfg)
+        self.db, make_fs, self.UpdateOne = _make_backend(cfg)
 
         # Collections (reference db/__init__.py:10-18)
         self.companies = self.db["companies"]

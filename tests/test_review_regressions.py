@@ -202,3 +202,130 @@ def test_worker_ids_unique_by_default(app):
     w1 = FaceEmbeddingWorker(ds, app.config_tree, detector=FakeFaceAnalysis())
     w2 = FaceEmbeddingWorker(ds, app.config_tree, detector=FakeFaceAnalysis())
     assert w1.worker_id != w2.worker_id
+
+
+# ---------------------------------------------------------- third review
+
+
+def test_reporting_tree_cycle_terminates(client, company):
+    files = {p: (f"{p}.jpg", JPEG, "image/jpeg") for p in ("center", "left", "right")}
+    for emp, boss in (("A", "B"), ("B", "A")):
+        r = client.post("/bharatlytics/v1/employees/register",
+                        data={"employeeId": emp, "employeeName": emp,
+                              "companyId": company,
+                              "employeeReportingId": boss}, files=files)
+        assert r.status_code == 200
+    r = client.get(f"/bharatlytics/v1/employees/reporting-tree/A?companyId={company}")
+    assert r.status_code == 200  # would RecursionError/500 without the guard
+    tree = r.get_json()
+    assert tree["reportees"][0]["employeeId"] == "B"
+    assert tree["reportees"][0]["reportees"] == []  # cycle cut, not recursed
+
+
+def test_employee_search_with_regex_metacharacters(client, company):
+    files = {p: (f"{p}.jpg", JPEG, "image/jpeg") for p in ("center", "left", "right")}
+    client.post("/bharatlytics/v1/employees/register",
+                data={"employeeId": "E(1)", "employeeName": "Paren (Person)",
+                      "companyId": company}, files=files)
+    r = client.get(f"/bharatlytics/v1/employees/search?companyId={company}&search=(")
+    assert r.status_code == 200  # unescaped '(' would raise re.error -> 500
+    r2 = client.get(f"/bharatlytics/v1/employees/search?companyId={company}&search=.*")
+    assert r2.status_code == 200
+    assert r2.get_json()["employees"] == []  # '.*' is literal, matches nothing
+
+
+def test_update_entity_reparent_rewrites_paths(client, company):
+    tpl = client.get("/bharatlytics/v1/entities/templates").get_json()
+    office = next(t for t in tpl if t["type"] == "office")
+    did = client.post("/bharatlytics/v1/entity-definitions/from-template",
+                      json_body={"templateId": office["_id"],
+                                 "companyId": company, "name": "hq"}
+                      ).get_json()["id"]
+
+    def mk(name, etype, attrs, parent=None):
+        body = {"name": name, "type": etype, "definitionId": did,
+                "companyId": company, "attributes": attrs}
+        if parent:
+            body["parentId"] = parent
+        r = client.post("/bharatlytics/v1/entities", json_body=body)
+        assert r.status_code == 201, r.text
+        return r.get_json()["id"]
+
+    b1 = mk("B1", "building", {"buildingCode": "BLD001", "address": "x"})
+    b2 = mk("B2", "building", {"buildingCode": "BLD002", "address": "y"})
+    f1 = mk("F1", "floor", {"floorNumber": "1"}, parent=b1)
+    z1 = mk("Z1", "zone", {"zoneCode": "Z001", "purpose": "workspace"}, parent=f1)
+
+    # re-parent F1 under B2 via PUT (not /move) — subtree paths must follow
+    r = client.open(f"/bharatlytics/v1/entities/{f1}", "PUT",
+                    json_body={"parentId": b2})
+    assert r.status_code == 200, r.text
+    desc = client.get(f"/bharatlytics/v1/entities/{b2}/descendants").get_json()
+    ids = {d["_id"]["$oid"] if isinstance(d["_id"], dict) else d["_id"]
+           for d in desc}
+    assert f1 in ids and z1 in ids  # zone followed its floor
+    old_desc = client.get(f"/bharatlytics/v1/entities/{b1}/descendants").get_json()
+    assert old_desc == []
+
+
+def test_schedule_visit_defaults_nonzero_window(app, client, company):
+    import datetime as dt
+
+    host = _register_host(client, company)
+    host_doc = app.datastore.employee_info.find_one({"employeeId": host})
+    files = {p: (f"{p}.jpg", JPEG, "image/jpeg") for p in ("center", "left", "right")}
+    vid = client.post("/bharatlytics/v1/visitors/register",
+                      data={"companyId": company, "visitorName": "G",
+                            "phone": "9876543210", "hostEmployeeId": host},
+                      files=files).get_json()["_id"]
+    start = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    r = client.post(f"/bharatlytics/v1/visitors/{vid}/schedule-visit",
+                    json_body={"companyId": company,
+                               "hostEmployeeId": str(host_doc["_id"]),
+                               "expectedArrival": start.isoformat()})
+    assert r.status_code == 201, r.text
+    visit = r.get_json()["visit"]
+    arr = visit["expectedArrival"]
+    dep = visit["expectedDeparture"]
+    assert dep > arr  # zero-length window would make every QR scan "expired"
+
+
+def test_reregistration_cleans_superseded_blobs(app, client, company):
+    ds = app.datastore
+    files = {p: (f"{p}.jpg", JPEG + bytes([i]), "image/jpeg")
+             for i, p in enumerate(("center", "left", "right"))}
+    client.post("/bharatlytics/v1/employees/register",
+                data={"employeeId": "E1", "employeeName": "P",
+                      "companyId": company}, files=files)
+    ds.employee_info.update_one({"employeeId": "E1"},
+                                {"$set": {"status": "inactive"}})
+    old = ds.employee_info.find_one({"employeeId": "E1"})
+    old_image_ids = list(old["employeeImages"].values())
+    r = client.post("/bharatlytics/v1/employees/register",
+                    data={"employeeId": "E1", "employeeName": "P",
+                          "companyId": company}, files=files)
+    assert r.status_code == 200, r.text
+    for oid in old_image_ids:
+        with pytest.raises(Exception):
+            ds.employee_images.get(oid)  # superseded blob deleted
+    fresh = ds.employee_info.find_one({"employeeId": "E1"})
+    for pose_id in fresh["employeeImages"].values():
+        assert ds.employee_images.get(pose_id).read()  # new blobs live
+
+
+def test_counting_empty_gallery_guard_on_batcher_path(app):
+    from facerecognition_infrenceengine_tpu.domain.campus import CampusPeopleManager
+    from facerecognition_infrenceengine_tpu.domain.counting import CountingProcessor
+    from facerecognition_infrenceengine_tpu.engine.gallery import GalleryManager
+    from facerecognition_infrenceengine_tpu.models.zoo import Face
+
+    ds = app.datastore
+    gallery = GalleryManager(ds, app.config_tree)
+    manager = CampusPeopleManager(ds, app.config_tree, start_background=False)
+    proc = CountingProcessor(gallery, manager, cfg=app.config_tree)
+    face = Face(bbox=np.array([0, 0, 10, 10], np.float32), det_score=0.9,
+                kps=np.zeros((5, 2), np.float32))
+    face.normed_embedding = np.ones(512, np.float32) / np.sqrt(512)
+    stats = proc.process_faces([face], "cam-entry")
+    assert stats["unknown"] == 0  # empty gallery: no phantom unknown clusters
+    manager.stop()
