@@ -83,6 +83,25 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
             if attr in allowed and value not in allowed[attr]:
                 return False, (f"Invalid value for attribute '{attr}': must be "
                                f"one of {allowed[attr]}")
+        # Regex validations: the reference stores structure.validations /
+        # defaultValidations but never applies them (reference
+        # entity.py:43-87) — here the declared data model is enforced (e.g.
+        # plantCode ^PLT\d{3}$ in the seeded templates, db/seed_templates.py).
+        validations = {
+            **definition["structure"].get("defaultValidations", {}),
+            **definition["structure"].get("validations", {}),
+        }
+        for attr, pattern in validations.items():
+            value = entity_data.get("attributes", {}).get(attr)
+            if value is None:
+                continue
+            try:
+                matches = re.fullmatch(pattern, str(value)) is not None
+            except re.error:
+                continue  # malformed pattern in the definition: skip, not 500
+            if not matches:
+                return False, (f"Attribute '{attr}' value {value!r} does not "
+                               f"match validation pattern {pattern!r}")
         if entity_data.get("parentId"):
             parent = entities.find_one({"_id": ObjectId(str(entity_data["parentId"]))})
             if not parent:

@@ -240,3 +240,28 @@ def test_template_clone(client, ctx):
     assert t["name"] == "My Custom Mfg"
     assert t["clonedFrom"] == mfg["_id"]
     assert "graphElements" in t
+
+
+def test_entity_regex_validation_enforced(client):
+    company_id = client.post(
+        "/bharatlytics/v1/companies/seed").get_json()["company"]["_id"]
+    tpl = client.get("/bharatlytics/v1/entities/templates").get_json()
+    office = next(t for t in tpl if t["type"] == "office")
+    did = client.post("/bharatlytics/v1/entity-definitions/from-template",
+                      json_body={"templateId": office["_id"],
+                                 "companyId": company_id,
+                                 "name": "hq"}).get_json()["id"]
+    # buildingCode must match ^BLD\d{3}$ (seeded defaultValidations)
+    bad = client.post("/bharatlytics/v1/entities",
+                      json_body={"name": "B", "type": "building",
+                                 "definitionId": did, "companyId": company_id,
+                                 "attributes": {"buildingCode": "nope",
+                                                "address": "x"}})
+    assert bad.status_code == 400
+    assert "validation pattern" in bad.get_json()["error"]
+    good = client.post("/bharatlytics/v1/entities",
+                       json_body={"name": "B", "type": "building",
+                                  "definitionId": did, "companyId": company_id,
+                                  "attributes": {"buildingCode": "BLD001",
+                                                 "address": "x"}})
+    assert good.status_code == 201, good.text
