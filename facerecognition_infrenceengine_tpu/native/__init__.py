@@ -135,6 +135,10 @@ def _check_img(img: np.ndarray) -> np.ndarray:
 
 
 # ------------------------------------------------------------------- codec
+MAX_DECODE_PIXELS = 64_000_000  # 64 MP cap: a crafted header must not drive
+                                # a multi-GB allocation from 200 bytes
+
+
 def decode_jpeg(data: bytes):
     """JPEG bytes -> HxWx3 RGB uint8, or None on decode failure
     (cv2.imdecode contract, reference trainingServer.py:221-224)."""
@@ -146,6 +150,8 @@ def decode_jpeg(data: bytes):
                                  ctypes.byref(h), ctypes.byref(w))
         if rc == -1:
             return _decode_pil(data)
+        if h.value <= 0 or w.value <= 0 or h.value * w.value > MAX_DECODE_PIXELS:
+            return None
         out = np.empty((h.value, w.value, 3), np.uint8)
         rc = lib.fre_jpeg_decode(data, len(data), _ptr(out),
                                  ctypes.byref(h), ctypes.byref(w))
