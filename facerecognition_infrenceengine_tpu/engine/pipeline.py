@@ -73,7 +73,13 @@ class FaceEngine:
         self.cfg = cfg or get_config().engine
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         self.detector = scrfd.SCRFD(scrfd.CONFIGS[det_arch], dtype=dtype)
-        self.embedder = (arcface.iresnet50 if rec_arch == "r50" else arcface.iresnet18)(dtype=dtype)
+        if rec_arch == "mobilefacenet":
+            from ..models import mobilefacenet
+
+            self.embedder = mobilefacenet.mobilefacenet(dtype=dtype)
+        else:
+            self.embedder = (arcface.iresnet50 if rec_arch == "r50"
+                             else arcface.iresnet18)(dtype=dtype)
         self.rec_arch = rec_arch
         h, w = self.cfg.det_size
         if det_variables is None:

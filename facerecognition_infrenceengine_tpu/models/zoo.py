@@ -75,7 +75,12 @@ class FaceAnalysis:
         if self._engine is None:
             from ..engine.pipeline import FaceEngine
 
-            self._engine = FaceEngine(self.cfg)
+            # pack name selects the recognizer: buffalo_l -> ArcFace-R50,
+            # mobile_facenet_v1 -> MobileFaceNet (named in the reference's
+            # ALLOWED_MODELS, app/config/config.py:24, but never served)
+            rec_arch = ("mobilefacenet" if "facenet" in self.name
+                        else "r50")
+            self._engine = FaceEngine(self.cfg, rec_arch=rec_arch)
         return self._engine
 
     def get(self, frame: np.ndarray, max_num: int = 0) -> list:

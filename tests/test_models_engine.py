@@ -126,3 +126,29 @@ def test_face_analysis_full_pack_and_module_trim():
     f2 = trimmed.get(frame)[0]
     assert f2.normed_embedding is not None
     assert f2.gender is None and f2.landmark_2d_106 is None
+
+
+def test_mobilefacenet_embedder():
+    from facerecognition_infrenceengine_tpu.models import mobilefacenet
+    from facerecognition_infrenceengine_tpu.models.weights import load_or_init
+
+    m = mobilefacenet.mobilefacenet()
+    v = load_or_init("mobilefacenet_test", m, jnp.zeros((1, 112, 112, 3)), 0)
+    out = m.apply(v, jnp.zeros((2, 112, 112, 3)))
+    assert out.shape == (2, 512)
+    assert jnp.isfinite(out).all()
+    # param count in the MobileFaceNet class (paper: ~1M); well under r50
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(v["params"]))
+    assert n_params < 3_000_000
+
+
+def test_face_analysis_mobile_facenet_pack():
+    from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
+
+    app = FaceAnalysis(name="mobile_facenet_v1", cfg=small_cfg(),
+                       allowed_modules=("detection", "recognition"))
+    app.prepare(ctx_id=0, det_thresh=0.0)
+    assert app._engine.rec_arch == "mobilefacenet"
+    rng = np.random.default_rng(2)
+    faces = app.get(rng.integers(0, 255, (160, 160, 3), dtype=np.uint8))
+    assert faces and faces[0].normed_embedding.shape == (512,)
