@@ -118,3 +118,13 @@ def test_hud_draw_enhanced_bounding_box():
     out2 = draw_enhanced_bounding_box(out, (400, 50, 620, 420),
                                       (0, 0, 255), info_u, 0.5, 0.0)
     assert (out2[:, :, 2] == 255).any()
+
+
+def test_decode_dimension_cap():
+    # a crafted SOF header must not drive a multi-GB allocation
+    import struct
+
+    # minimal JPEG with absurd dimensions: SOI + SOF0 claiming 30000x30000
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 30000, 30000, 1) + b"\x01\x11\x00"
+    data = b"\xff\xd8" + sof + b"\xff\xd9"
+    assert native.decode_jpeg(data) is None
