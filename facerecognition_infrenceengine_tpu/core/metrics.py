@@ -114,19 +114,7 @@ class _TimerSpan:
         return False
 
     def snapshot(self):
-        with self._lock:
-            if not self.count:
-                return {"count": 0}
-            ring = sorted(self._ring)
-            p = lambda q: ring[min(len(ring) - 1, int(q * len(ring)))] * 1000.0
-            return {
-                "count": self.count,
-                "mean_ms": self.total_s / self.count * 1000.0,
-                "ewma_ms": (self.ewma_s or 0.0) * 1000.0,
-                "p50_ms": p(0.50),
-                "p95_ms": p(0.95),
-                "max_ms": ring[-1] * 1000.0,
-            }
+        return self._timer.snapshot()
 
 
 _counters: Dict[str, Counter] = {}

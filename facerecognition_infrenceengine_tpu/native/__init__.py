@@ -174,6 +174,10 @@ def _decode_pil(data: bytes):
         return None
     try:
         with Image.open(io.BytesIO(data)) as im:
+            # same allocation cap as the native path (PNG and no-compiler
+            # hosts must not bypass MAX_DECODE_PIXELS)
+            if im.width * im.height > MAX_DECODE_PIXELS:
+                return None
             return np.asarray(im.convert("RGB"), np.uint8)
     except Exception:
         return None

@@ -31,7 +31,9 @@ _MIME = {
 
 def _read(*parts: str) -> bytes:
     path = os.path.normpath(os.path.join(_HERE, *parts))
-    if not path.startswith(_HERE) or not os.path.isfile(path):
+    # trailing separator: a bare prefix check would admit sibling dirs
+    # sharing the "ui" prefix (web/ui-backup/...) via ../ traversal
+    if not path.startswith(_HERE + os.sep) or not os.path.isfile(path):
         abort(404, "not found")
     with open(path, "rb") as f:
         return f.read()

@@ -1,6 +1,25 @@
 // Tiny fetch-based API client + DOM helpers (replaces the reference's
 // jQuery $.ajax calls in app/static/js/app.js with vanilla fetch).
 
+// Some endpoints return MongoDB extended JSON (the reference served entity
+// reads through bson json_util): ids as {"$oid": "..."} and datetimes as
+// {"$date": epoch_ms}. Normalize those to plain strings so UI code can
+// treat every id as a string and every date as an ISO string.
+function ejson(value) {
+  if (Array.isArray(value)) return value.map(ejson);
+  if (value && typeof value === 'object') {
+    const keys = Object.keys(value);
+    if (keys.length === 1 && keys[0] === '$oid') return value.$oid;
+    if (keys.length === 1 && keys[0] === '$date') {
+      return new Date(value.$date).toISOString();
+    }
+    const out = {};
+    for (const k of keys) out[k] = ejson(value[k]);
+    return out;
+  }
+  return value;
+}
+
 async function api(path, opts = {}) {
   const url = API_CONFIG.BASE_URL + path;
   const init = { method: opts.method || 'GET', headers: {} };
@@ -14,7 +33,7 @@ async function api(path, opts = {}) {
   const resp = await fetch(url, init);
   let body = null;
   const text = await resp.text();
-  try { body = text ? JSON.parse(text) : null; } catch (_) { body = text; }
+  try { body = ejson(text ? JSON.parse(text) : null); } catch (_) { body = text; }
   if (!resp.ok) {
     const msg = (body && (body.error || body.message)) || resp.statusText;
     const err = new Error(msg);

@@ -308,8 +308,17 @@ document.addEventListener('DOMContentLoaded', async () => {
   $('#company-select').addEventListener('change', async (ev) => {
     STATE.companyId = ev.target.value || null;
     STATE.selectedEntityId = null;
-    await loadDefinitions();
-    await loadEntities();
+    try {
+      await loadDefinitions();
+      await loadEntities();
+    } catch (e) {
+      // clear rather than keep the previous company's state on screen
+      STATE.definitions = [];
+      STATE.entities = [];
+      renderDefinitions();
+      renderEntities();
+      toast(e.message, true);
+    }
   });
 
   $('#create-definition-btn').addEventListener('click', () => {

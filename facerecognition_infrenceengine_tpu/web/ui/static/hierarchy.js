@@ -25,7 +25,24 @@ function renderTree(container, nodes, opts = {}) {
   const roots = [];
   for (const n of byId.values()) {
     const p = n.parentId && byId.get(n.parentId);
-    if (p) p.children.push(n); else roots.push(n);
+    if (p && p !== n) p.children.push(n); else roots.push(n);
+  }
+  // Nodes inside a parent cycle are neither roots nor reachable from one;
+  // promote one node per unplaced component so nothing silently vanishes.
+  const reachable = new Set();
+  const visit = (n) => {
+    if (reachable.has(n.id)) return;
+    reachable.add(n.id);
+    n.children.forEach(visit);
+  };
+  roots.forEach(visit);
+  for (const n of byId.values()) {
+    if (!reachable.has(n.id)) {
+      const parent = byId.get(n.parentId);
+      if (parent) parent.children = parent.children.filter(c => c !== n);
+      roots.push(n);
+      visit(n);
+    }
   }
 
   // Tidy layout: leaves get consecutive columns, parents center over children.

@@ -92,3 +92,10 @@ def test_metrics_endpoint():
     resp = app.test_client().get("/api/metrics")
     assert resp.status_code == 200
     assert resp.get_json()["counters"]["probe"] == 1
+
+
+def test_timer_handle_snapshot_delegates():
+    t = metrics.timer("handle")
+    t.observe(0.002)
+    snap = t.snapshot()  # the handle users hold must be snapshot-able
+    assert snap["count"] == 1

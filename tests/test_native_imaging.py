@@ -128,3 +128,12 @@ def test_decode_dimension_cap():
     sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 30000, 30000, 1) + b"\x01\x11\x00"
     data = b"\xff\xd8" + sof + b"\xff\xd9"
     assert native.decode_jpeg(data) is None
+
+
+def test_decode_cap_applies_to_pil_fallback():
+    from PIL import Image
+
+    buf = io.BytesIO()
+    # 81 MP PNG: over the 64 MP cap, must be rejected on the PIL path too
+    Image.new("RGB", (9000, 9000)).save(buf, "PNG")
+    assert native.decode_image(buf.getvalue()) is None
