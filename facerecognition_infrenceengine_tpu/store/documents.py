@@ -36,6 +36,10 @@ class BulkWriteError(Exception):
         self.details = details
 
 
+class WriteError(Exception):
+    """A single write was rejected (pymongo.errors.WriteError analogue)."""
+
+
 # ----------------------------------------------------------------- results
 class InsertOneResult:
     def __init__(self, inserted_id):
@@ -174,11 +178,11 @@ def _safe_cmp(a, b) -> int | None:
 
 
 def _values_equal(a, b) -> bool:
-    if isinstance(a, ObjectId) or isinstance(b, ObjectId):
-        try:
-            return ObjectId(a) == ObjectId(b) if a is not None and b is not None else a == b
-        except Exception:
-            return False
+    # NO ObjectId<->hex-string coercion: pymongo never matches a string
+    # against an ObjectId field, and the laxity would let call sites that
+    # forget ObjectId() work in dev and silently miss on real MongoDB.
+    if isinstance(a, ObjectId) != isinstance(b, ObjectId):
+        return False
     return a == b
 
 
@@ -276,8 +280,14 @@ def _set_path(doc: dict, path: str, value):
         if isinstance(cur, list) and p.isdigit():
             cur = cur[int(p)]
             continue
-        if p not in cur or not isinstance(cur[p], (dict, list)):
+        if p not in cur or cur[p] is None:
             cur[p] = {}
+        elif not isinstance(cur[p], (dict, list)):
+            # MongoDB raises here; silently replacing a scalar intermediate
+            # with {} would destroy data on a buggy dotted-path update
+            raise WriteError(
+                f"Cannot create field {parts[parts.index(p) + 1]!r} in "
+                f"element {{{p}: {cur[p]!r}}}")
         cur = cur[p]
     if isinstance(cur, list) and parts[-1].isdigit():
         cur[int(parts[-1])] = value
@@ -451,8 +461,9 @@ class Cursor:
                 )
         if self._skip:
             docs = docs[self._skip:]
-        if self._limit is not None:
-            docs = docs[: self._limit]
+        # pymongo semantics: limit(0) = no limit; negative = |n| cap
+        if self._limit:
+            docs = docs[: abs(self._limit)]
         return [_project(d, self._projection) for d in docs]
 
     def __iter__(self):
@@ -616,6 +627,8 @@ class Collection:
                 before = copy.deepcopy(doc)
                 work = copy.deepcopy(doc)
                 if _apply_update(work, update):
+                    if work.get("_id") != doc.get("_id"):
+                        raise ValueError("_id is immutable")
                     self._check_unique(work, exclude_key=key)
                     self._docs[key] = work
                 return copy.deepcopy(work) if return_document else before
@@ -643,32 +656,50 @@ class Collection:
 
     # -- bulk
     def bulk_write(self, requests: list, ordered: bool = True) -> BulkWriteResult:
+        """pymongo semantics: ordered=True stops at the first error;
+        ordered=False attempts every request.  Either way errors surface as
+        BulkWriteError carrying per-op details, never a bare exception."""
         inserted = matched = modified = deleted = upserted = 0
-        for req in requests:
-            if isinstance(req, InsertOne):
-                self.insert_one(req.document)
-                inserted += 1
-            elif isinstance(req, UpdateMany):
-                r = self.update_many(req.filter, req.update, req.upsert)
-                matched += r.matched_count
-                modified += r.modified_count
-                upserted += 1 if r.upserted_id is not None else 0
-            elif isinstance(req, UpdateOne):
-                r = self.update_one(req.filter, req.update, req.upsert)
-                matched += r.matched_count
-                modified += r.modified_count
-                upserted += 1 if r.upserted_id is not None else 0
-            elif isinstance(req, ReplaceOne):
-                r = self.replace_one(req.filter, req.replacement, req.upsert)
-                matched += r.matched_count
-                modified += r.modified_count
-                upserted += 1 if r.upserted_id is not None else 0
-            elif isinstance(req, DeleteMany):
-                deleted += self.delete_many(req.filter).deleted_count
-            elif isinstance(req, DeleteOne):
-                deleted += self.delete_one(req.filter).deleted_count
-            else:
-                raise TypeError(f"unsupported bulk request {type(req)}")
+        errors = []
+        for i, req in enumerate(requests):
+            try:
+                if isinstance(req, InsertOne):
+                    self.insert_one(req.document)
+                    inserted += 1
+                elif isinstance(req, UpdateMany):
+                    r = self.update_many(req.filter, req.update, req.upsert)
+                    matched += r.matched_count
+                    modified += r.modified_count
+                    upserted += 1 if r.upserted_id is not None else 0
+                elif isinstance(req, UpdateOne):
+                    r = self.update_one(req.filter, req.update, req.upsert)
+                    matched += r.matched_count
+                    modified += r.modified_count
+                    upserted += 1 if r.upserted_id is not None else 0
+                elif isinstance(req, ReplaceOne):
+                    r = self.replace_one(req.filter, req.replacement, req.upsert)
+                    matched += r.matched_count
+                    modified += r.modified_count
+                    upserted += 1 if r.upserted_id is not None else 0
+                elif isinstance(req, DeleteMany):
+                    deleted += self.delete_many(req.filter).deleted_count
+                elif isinstance(req, DeleteOne):
+                    deleted += self.delete_one(req.filter).deleted_count
+                else:
+                    raise TypeError(f"unsupported bulk request {type(req)}")
+            except TypeError:
+                raise
+            except Exception as e:
+                errors.append({"index": i, "errmsg": str(e)})
+                if ordered:
+                    break
+        if errors:
+            raise BulkWriteError({
+                "writeErrors": errors,
+                "nInserted": inserted, "nMatched": matched,
+                "nModified": modified, "nRemoved": deleted,
+                "nUpserted": upserted,
+            })
         return BulkWriteResult(inserted, matched, modified, deleted, upserted)
 
     # -- indexes (tracked; unique is enforced)
@@ -721,6 +752,10 @@ class Collection:
                             nd = copy.deepcopy(d)
                             _set_path(nd, path, v)
                             out.append(nd)
+                    elif exists and val is not None:
+                        # MongoDB >= 3.2: non-array values pass through as
+                        # a single element (missing/null/[] drop the doc)
+                        out.append(d)
                 docs = out
             elif op == "$count":
                 docs = [{arg: len(docs)}]
@@ -734,14 +769,27 @@ class Collection:
     def _resolve_expr(doc, expr):
         if isinstance(expr, str) and expr.startswith("$"):
             return _get_path(doc, expr[1:])[1]
+        if isinstance(expr, dict):
+            # compound _id specs: {"d": "$day", ...} resolve per field
+            return {k: Collection._resolve_expr(doc, v)
+                    for k, v in expr.items()}
         return expr
+
+    @staticmethod
+    def _group_key(gid):
+        """Type-aware key: str(1) == str('1') must NOT merge groups."""
+        if isinstance(gid, dict):
+            return ("dict",) + tuple(
+                (k, Collection._group_key(v)) for k, v in sorted(gid.items(),
+                                                                 key=str))
+        return (type(gid).__name__, str(gid))
 
     def _group(self, docs, spec) -> list:
         groups: dict = {}
         order: list = []
         for d in docs:
             gid = self._resolve_expr(d, spec["_id"])
-            key = str(gid)
+            key = self._group_key(gid)
             if key not in groups:
                 groups[key] = {"_id": gid, "__docs": []}
                 order.append(key)

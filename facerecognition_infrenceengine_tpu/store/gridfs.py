@@ -78,13 +78,16 @@ class GridFS:
             "md5": hashlib.md5(data).hexdigest(),
         }
         doc.update(kwargs)
+        # files doc first: a duplicate _id must fail BEFORE any chunks land
+        # (chunks-first would leave interleaved chunks under the same
+        # files_id and corrupt subsequent reads)
+        self._files.insert_one(doc)
         n = 0
         for off in range(0, max(len(data), 1), CHUNK_SIZE):
             self._chunks.insert_one(
                 {"files_id": file_id, "n": n, "data": data[off: off + CHUNK_SIZE]}
             )
             n += 1
-        self._files.insert_one(doc)
         return file_id
 
     def get(self, file_id) -> GridOut:

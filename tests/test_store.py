@@ -232,3 +232,106 @@ def test_datastore_init_db():
     mt = next(t for t in templates if t["type"] == "manufacturing")
     assert "business_unit" in mt["structure"]["entityTypes"]
     assert mt["structure"]["defaultValidations"]["plantCode"] == "^PLT\\d{3}$"
+
+
+# ------------------------------------------------ pymongo-parity regressions
+
+
+def test_find_one_and_update_id_immutable(db):
+    col = db["c"]
+    col.insert_one({"_id": "A", "v": 1})
+    with pytest.raises(ValueError):
+        col.find_one_and_update({"_id": "A"}, {"$set": {"_id": "B"}})
+    assert col.find_one({"_id": "A"})["v"] == 1
+
+
+def test_limit_zero_means_no_limit(db):
+    col = db["c"]
+    for i in range(5):
+        col.insert_one({"i": i})
+    assert len(list(col.find({}).limit(0))) == 5  # pymongo semantics
+    assert len(list(col.find({}).limit(-2))) == 2
+
+
+def test_bulk_write_unordered_attempts_all(db):
+    from facerecognition_infrenceengine_tpu.store.documents import (
+        BulkWriteError, InsertOne)
+
+    col = db["c"]
+    col.create_index("k", unique=True)
+    col.insert_one({"k": 1})
+    reqs = [InsertOne({"k": 1}),   # dup -> error
+            InsertOne({"k": 2})]   # must still run (ordered=False)
+    with pytest.raises(BulkWriteError) as exc:
+        col.bulk_write(reqs, ordered=False)
+    assert exc.value.details["writeErrors"][0]["index"] == 0
+    assert col.find_one({"k": 2}) is not None
+    # ordered=True stops at the first failure
+    col2 = db["c2"]
+    col2.create_index("k", unique=True)
+    col2.insert_one({"k": 1})
+    with pytest.raises(BulkWriteError):
+        col2.bulk_write([InsertOne({"k": 1}), InsertOne({"k": 3})],
+                        ordered=True)
+    assert col2.find_one({"k": 3}) is None
+
+
+def test_unwind_scalar_passthrough(db):
+    col = db["c"]
+    col.insert_one({"a": "scalar"})
+    col.insert_one({"a": ["x", "y"]})
+    col.insert_one({"a": None})
+    out = col.aggregate([{"$unwind": "$a"}])
+    values = sorted(d["a"] for d in out)
+    assert values == ["scalar", "x", "y"]  # scalar passes; null drops
+
+
+def test_group_does_not_merge_across_types(db):
+    col = db["c"]
+    col.insert_one({"k": 1})
+    col.insert_one({"k": "1"})
+    out = col.aggregate([{"$group": {"_id": "$k", "n": {"$sum": 1}}}])
+    assert len(out) == 2
+
+
+def test_group_compound_id_resolved_per_doc(db):
+    col = db["c"]
+    col.insert_one({"d": "mon", "x": 1})
+    col.insert_one({"d": "tue", "x": 1})
+    col.insert_one({"d": "mon", "x": 1})
+    out = col.aggregate([{"$group": {"_id": {"day": "$d"}, "n": {"$sum": 1}}}])
+    by_day = {d["_id"]["day"]: d["n"] for d in out}
+    assert by_day == {"mon": 2, "tue": 1}
+
+
+def test_set_scalar_intermediate_raises(db):
+    from facerecognition_infrenceengine_tpu.store.documents import WriteError
+
+    col = db["c"]
+    col.insert_one({"_id": "A", "a": 5})
+    with pytest.raises(WriteError):
+        col.update_one({"_id": "A"}, {"$set": {"a.b": 7}})
+    assert col.find_one({"_id": "A"})["a"] == 5  # untouched
+
+
+def test_objectid_does_not_match_hex_string(db):
+    from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+
+    col = db["c"]
+    oid = ObjectId()
+    col.insert_one({"ref": oid})
+    assert col.find_one({"ref": str(oid)}) is None  # pymongo never coerces
+    assert col.find_one({"ref": oid}) is not None
+
+
+def test_gridfs_duplicate_id_leaves_original_intact(db):
+    from facerecognition_infrenceengine_tpu.store.gridfs import GridFS
+    from facerecognition_infrenceengine_tpu.store.documents import DuplicateKeyError
+    from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+
+    fs = GridFS(db, collection="t")
+    fid = ObjectId()
+    fs.put(b"original-bytes", _id=fid)
+    with pytest.raises(DuplicateKeyError):
+        fs.put(b"other-bytes", _id=fid)
+    assert fs.get(fid).read() == b"original-bytes"  # no chunk interleaving
