@@ -22,10 +22,11 @@ axis-aligned hat for |rotation| < ~30 deg (test_ops_warp2pass.py quantifies).
 
 Faces larger than the static ROI window sample from an average-pool pyramid
 level chosen per face, so arbitrary face scales keep one compiled shape.
-Cost shape: the ROI extraction runs per level (cheap fused dynamic-slices),
-but the expensive hat-weight einsums run ONCE per face on the selected
-level's ROI — an earlier version warped every level and selected after,
-which cost 4x the matmul traffic (38 ms for 128 faces; this version ~8 ms).
+Cost shape: the pyramid lives as one u8 atlas (levels side by side), each
+face costs exactly ONE small dynamic-slice whose origin encodes its level,
+and the hat-weight einsums run once per face with the output positions on
+the MXU lanes.  128 faces: ~5 ms on v5e (the first version warped every
+level and selected after — 38 ms).
 """
 
 from __future__ import annotations
