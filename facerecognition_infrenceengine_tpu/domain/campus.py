@@ -513,9 +513,10 @@ class CampusPeopleManager:
 
     # ------------------------------------------------------------- queries
     def get_campus_status(self, campus_id: str | None = None) -> dict:
-        # reference peopleCount.py:636-669
-        def one(cid):
-            stats = self.campus_stats[cid]
+        # reference peopleCount.py:636-669.  Read under the lock and without
+        # defaultdict-indexing: an arbitrary campus id from a URL must not
+        # permanently pollute campus_stats.
+        def one(cid, stats):
             return {
                 "campus_id": cid,
                 "current_inside": stats["current_inside"],
@@ -527,9 +528,12 @@ class CampusPeopleManager:
                 "unique_unknowns_today": len(self.unknown_people.get(cid, {})),
             }
 
-        if campus_id:
-            return one(campus_id)
-        return {cid: one(cid) for cid in self.campus_stats}
+        with self.state_lock:
+            if campus_id:
+                stats = self.campus_stats.get(campus_id) or _new_campus_stats()
+                return one(campus_id, stats)
+            return {cid: one(cid, stats)
+                    for cid, stats in self.campus_stats.items()}
 
     def get_person_status(self, person_id: str) -> dict | None:
         with self.state_lock:

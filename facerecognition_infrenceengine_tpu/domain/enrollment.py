@@ -237,6 +237,8 @@ class FaceEmbeddingWorker:
             positions = (["left", "right", "center"] if is_visitor
                          else ["center", "left", "right"])  # :305
             face_embeddings = []
+            embedded_positions = []  # parallel to face_embeddings: a skipped
+                                     # pose must not shift the error labels
             for position in positions:
                 image_id = image_dict.get(position)
                 if not image_id:
@@ -244,6 +246,7 @@ class FaceEmbeddingWorker:
                 emb = self._process_image(image_id, image_fs, position)
                 if emb is not None:
                     face_embeddings.append(np.asarray(emb, np.float32))
+                    embedded_positions.append(position)
                 jobs.update_one({"_id": job_id},
                                 {"$set": {"heartbeat": get_current_utc()}})
 
@@ -253,8 +256,9 @@ class FaceEmbeddingWorker:
             same, diff = self._check_image_similarity(face_embeddings)
             if not same:
                 i, j = diff
-                error = (f"Different persons detected in {positions[i]} and "
-                         f"{positions[j]} images")
+                error = (f"Different persons detected in "
+                         f"{embedded_positions[i]} and "
+                         f"{embedded_positions[j]} images")
                 collection.update_one(
                     {"companyId": company_id, "_id": doc_id},
                     {"$set": {f"{key}.{model}.status": JobStatus.FAILED.value,

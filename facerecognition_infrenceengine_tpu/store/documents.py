@@ -720,8 +720,11 @@ class Collection:
         return {ix["name"]: ix for ix in self._indexes}
 
     def drop(self):
+        # pymongo: dropping a collection also drops its indexes
         with self._lock:
             self._docs.clear()
+            self._indexes.clear()
+            self._unique.clear()
 
     # -- aggregate (subset: $match, $sort, $skip, $limit, $project, $group,
     #    $unwind, $count)
