@@ -45,6 +45,19 @@ except Exception:
 BASELINE_FACES_PER_SEC = 5000.0
 
 
+def _git_commit() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def device_loop_time(run, n1=4, n2=20, reps=3):
     """Seconds per device-side loop iteration, by slope between n1 and n2 runs.
 
@@ -155,6 +168,7 @@ def main():
             "frame_latency_b1_ms": round(frame_ms, 3),
             "gallery_qps_100k": round(gallery_qps, 1),
             "device": str(jax.devices()[0]),
+            "commit": _git_commit(),
         },
     }
     print(json.dumps(result))
