@@ -206,3 +206,25 @@ def test_two_workers_do_not_double_process(world):
     owners = [j["workerId"] for j in ds.embedding_jobs.find(
         {"model": "buffalo_l"})]
     assert len(owners) == 4
+
+
+def test_gallery_match_sharded_equals_local(world):
+    """GalleryManager.match over an 8-device gallery mesh == single device."""
+    import jax
+
+    from facerecognition_infrenceengine_tpu.parallel import build_mesh
+
+    cfg, ds, client, cid, worker = world
+    for emp, seed in (("E1", 42), ("E2", 43), ("E3", 44)):
+        register(client, cid, emp, person_seed=seed)
+    worker.process_available_jobs()
+
+    local = GalleryManager(ds, cfg, mesh=None)
+    mesh = build_mesh(jax.devices()[:8], data=1, gallery=8)
+    sharded = GalleryManager(ds, cfg, mesh=mesh)
+
+    probe = np.stack([fake_embedding(42, 0.05), fake_embedding(44, 0.02)])
+    s_loc, ids_loc, meta_loc = local.match(probe, company_id=cid)
+    s_sh, ids_sh, meta_sh = sharded.match(probe, company_id=cid)
+    assert ids_sh == ids_loc
+    np.testing.assert_allclose(s_sh, s_loc, atol=1e-5)
