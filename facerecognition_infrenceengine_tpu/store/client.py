@@ -40,7 +40,12 @@ def _make_backend(cfg: Config):
                 "MONGODB_URI is set to a mongodb:// URI but pymongo is not "
                 "installed; install pymongo or use memory://"
             )
-    db = documents.Database(cfg.db.database_name)
+    persist_dir = ""
+    if uri.startswith("file://"):
+        persist_dir = uri[len("file://"):] or cfg.db.persist_dir
+    elif cfg.db.persist_dir:
+        persist_dir = cfg.db.persist_dir
+    db = documents.Database(cfg.db.database_name, persist_dir=persist_dir)
     return (db, lambda name: gridfs.GridFS(db, collection=name),
             documents.UpdateOne)
 

@@ -18,7 +18,10 @@ so production deployments keep the reference's exact persistence layer.
 
 from __future__ import annotations
 
+import atexit
 import copy
+import os
+import pickle
 import re
 import threading
 from typing import Any, Iterable
@@ -521,6 +524,7 @@ class Collection:
                 raise DuplicateKeyError(f"duplicate _id {doc['_id']}")
             self._check_unique(doc)
             self._docs[key] = doc
+            self._db._mark_dirty()
             # mirror pymongo: inserted _id is visible on the caller's dict
             document.setdefault("_id", doc["_id"])
             return InsertOneResult(doc["_id"])
@@ -580,6 +584,7 @@ class Collection:
                         if self._id_key(work.get("_id")) != key:
                             raise ValueError("_id is immutable")
                         self._docs[key] = work
+                        self._db._mark_dirty()
                         modified += 1
                     if not many:
                         break
@@ -595,6 +600,7 @@ class Collection:
                 base.setdefault("_id", ObjectId())
                 self._check_unique(base)
                 self._docs[self._id_key(base["_id"])] = base
+                self._db._mark_dirty()
                 return UpdateResult(0, 0, upserted_id=base["_id"])
             return UpdateResult(matched, modified)
 
@@ -631,6 +637,7 @@ class Collection:
                         raise ValueError("_id is immutable")
                     self._check_unique(work, exclude_key=key)
                     self._docs[key] = work
+                    self._db._mark_dirty()
                 return copy.deepcopy(work) if return_document else before
             if upsert:
                 res = self._update(filter, update, upsert=True, many=False)
@@ -644,6 +651,7 @@ class Collection:
             for key, doc in list(self._docs.items()):
                 if _match_doc(doc, filter):
                     del self._docs[key]
+                    self._db._mark_dirty()
                     return DeleteResult(1)
             return DeleteResult(0)
 
@@ -652,6 +660,8 @@ class Collection:
             victims = [k for k, d in self._docs.items() if _match_doc(d, filter)]
             for k in victims:
                 del self._docs[k]
+            if victims:
+                self._db._mark_dirty()
             return DeleteResult(len(victims))
 
     # -- bulk
@@ -714,6 +724,7 @@ class Collection:
                                   **{k: v for k, v in kwargs.items() if k != "name"}})
             if unique and fields not in self._unique:
                 self._unique.append(fields)
+            self._db._mark_dirty()
         return name
 
     def index_information(self) -> dict:
@@ -725,6 +736,7 @@ class Collection:
             self._docs.clear()
             self._indexes.clear()
             self._unique.clear()
+            self._db._mark_dirty()
 
     # -- aggregate (subset: $match, $sort, $skip, $limit, $project, $group,
     #    $unwind, $count)
@@ -842,10 +854,80 @@ class Collection:
 
 
 class Database:
-    def __init__(self, name: str = "bharatlytics"):
+    """In-process database; optional snapshot persistence.
+
+    ``persist_dir`` (the ``file://<dir>`` URI form) makes the database
+    durable: state loads from ``<dir>/<name>.pkl`` at startup, a background
+    thread writes a consistent snapshot (atomic rename) whenever there were
+    mutations, and an atexit hook flushes on shutdown.  This is SINGLE-
+    process persistence — the embedded store lives in one process's memory;
+    deployments that need the reference's multi-process sharing use a
+    ``mongodb://`` URI (store.client swaps in pymongo transparently).
+    """
+
+    FLUSH_INTERVAL_S = 2.0
+
+    def __init__(self, name: str = "bharatlytics", persist_dir: str = ""):
         self.name = name
         self._lock = threading.RLock()
         self._collections: dict[str, Collection] = {}
+        self._persist_dir = persist_dir
+        self._dirty = False
+        self._closed = False
+        if persist_dir:
+            os.makedirs(persist_dir, exist_ok=True)
+            self._snapshot_path = os.path.join(persist_dir, f"{name}.pkl")
+            self._load_snapshot()
+            flusher = threading.Thread(target=self._flush_loop, daemon=True,
+                                       name=f"fre-store-flush-{name}")
+            flusher.start()
+            atexit.register(self.flush)
+
+    def _mark_dirty(self):
+        # callers hold self._lock
+        self._dirty = True
+
+    def _load_snapshot(self):
+        if not os.path.exists(self._snapshot_path):
+            return
+        with open(self._snapshot_path, "rb") as f:
+            state = pickle.load(f)
+        for cname, payload in state.items():
+            col = self[cname]
+            col._docs = payload["docs"]
+            col._indexes = payload["indexes"]
+            col._unique = payload["unique"]
+
+    def flush(self):
+        """Write a consistent snapshot if anything changed (atomic rename)."""
+        if not self._persist_dir:
+            return
+        with self._lock:
+            if not self._dirty:
+                return
+            state = {cname: {"docs": col._docs, "indexes": col._indexes,
+                             "unique": col._unique}
+                     for cname, col in self._collections.items()}
+            blob = pickle.dumps(state)  # serialize under the lock: consistent
+            self._dirty = False
+        tmp = self._snapshot_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, self._snapshot_path)
+
+    def _flush_loop(self):
+        import time
+
+        while not self._closed:
+            time.sleep(self.FLUSH_INTERVAL_S)
+            try:
+                self.flush()
+            except Exception:
+                pass  # a failed periodic flush must not kill the thread
+
+    def close(self):
+        self._closed = True
+        self.flush()
 
     def __getitem__(self, name: str) -> Collection:
         with self._lock:

@@ -335,3 +335,45 @@ def test_gridfs_duplicate_id_leaves_original_intact(db):
     with pytest.raises(DuplicateKeyError):
         fs.put(b"other-bytes", _id=fid)
     assert fs.get(fid).read() == b"original-bytes"  # no chunk interleaving
+
+
+def test_file_persistence_roundtrip(tmp_path):
+    from facerecognition_infrenceengine_tpu.store.documents import Database
+    from facerecognition_infrenceengine_tpu.store.gridfs import GridFS
+    from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+
+    d = str(tmp_path / "store")
+    db1 = Database("testdb", persist_dir=d)
+    db1["people"].create_index("email", unique=True)
+    oid = db1["people"].insert_one({"name": "A", "email": "a@x",
+                                    "ref": ObjectId()}).inserted_id
+    fs1 = GridFS(db1, collection="blobs")
+    fid = fs1.put(b"payload-bytes", filename="f.bin")
+    db1.close()  # flush
+
+    db2 = Database("testdb", persist_dir=d)  # fresh process simulation
+    doc = db2["people"].find_one({"_id": oid})
+    assert doc["name"] == "A" and isinstance(doc["ref"], ObjectId)
+    # unique index survived the reload
+    import pytest as _pytest
+    from facerecognition_infrenceengine_tpu.store.documents import DuplicateKeyError
+    with _pytest.raises(DuplicateKeyError):
+        db2["people"].insert_one({"email": "a@x"})
+    assert GridFS(db2, collection="blobs").get(fid).read() == b"payload-bytes"
+    db2.close()
+
+
+def test_file_uri_selects_persistent_backend(tmp_path):
+    from facerecognition_infrenceengine_tpu.core.config import Config, DBConfig
+    from facerecognition_infrenceengine_tpu.store import Datastore
+
+    d = str(tmp_path / "ds")
+    cfg = Config(db=DBConfig(mongodb_uri=f"file://{d}",
+                             database_name="bharatlytics", persist_dir=""))
+    ds1 = Datastore(cfg)
+    ds1.companies.insert_one({"companyName": "PersistCo"})
+    ds1.db.flush()
+    ds2 = Datastore(cfg)
+    assert ds2.companies.find_one({"companyName": "PersistCo"}) is not None
+    ds1.db.close()
+    ds2.db.close()
