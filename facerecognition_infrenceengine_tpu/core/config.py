@@ -98,6 +98,12 @@ class EngineConfig:
     # Gallery capacity per shard bucket (static shapes; grows by doubling).
     gallery_block: int = 1024
     embed_dim: int = 512
+    # Gallery matrix dtype on device.  float32 keeps scores within the 1e-3
+    # reference-parity budget; bfloat16 halves device MEMORY per identity
+    # (1M IDs: 1 GB vs 2 GB) at ~3e-3 cosine error.  Measured on v5e it is
+    # NOT faster (1M-ID batch-64 match: f32 1.9 ms, bf16 2.4 ms) — opt in
+    # only for gallery capacity, never for speed or score fidelity.
+    gallery_dtype: str = "float32"
 
 
 @dataclass

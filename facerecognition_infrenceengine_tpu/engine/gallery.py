@@ -52,7 +52,8 @@ def _next_capacity(n: int, block: int) -> int:
 class _CompanySnapshot:
     """Immutable per-company device view: ids + padded matrix + mask."""
 
-    def __init__(self, ids, metadata, matrix, embed_dim, block):
+    def __init__(self, ids, metadata, matrix, embed_dim, block,
+                 dtype: str = "float32"):
         import jax.numpy as jnp
 
         self.ids = list(ids)
@@ -64,7 +65,11 @@ class _CompanySnapshot:
             padded[:n] = matrix
         valid = np.zeros(cap, bool)
         valid[:n] = True
-        self.device_matrix = jnp.asarray(padded)
+        # bfloat16 halves the HBM traffic of the bandwidth-bound match
+        # matmul (EngineConfig.gallery_dtype; accuracy tradeoff documented
+        # there); scores always accumulate in f32.
+        self.device_matrix = jnp.asarray(
+            padded, jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
         self.device_valid = jnp.asarray(valid)
         self.size = n
 
@@ -78,7 +83,8 @@ class _CompanySnapshot:
         if self.size == 0 or len(query_embeddings) == 0:
             b = len(query_embeddings)
             return np.full((b, k), -1.0, np.float32), [[None] * k for _ in range(b)]
-        q = jnp.asarray(np.asarray(query_embeddings, np.float32))
+        q = jnp.asarray(np.asarray(query_embeddings, np.float32)).astype(
+            self.device_matrix.dtype)  # match gallery dtype; accum stays f32
         if mesh is not None:
             vals, idx = distributed_topk(q, self.device_matrix, self.device_valid,
                                          mesh, k=k)
@@ -289,7 +295,8 @@ class GalleryManager:
                   else np.zeros((0, self.cfg.engine.embed_dim), np.float32))
         snap = _CompanySnapshot(ids, meta, matrix,
                                 self.cfg.engine.embed_dim,
-                                self.cfg.engine.gallery_block)
+                                self.cfg.engine.gallery_block,
+                                dtype=self.cfg.engine.gallery_dtype)
         with self._lock:
             if self._version == version:
                 self._snapshots[key] = snap

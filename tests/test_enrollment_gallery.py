@@ -228,3 +228,23 @@ def test_gallery_match_sharded_equals_local(world):
     s_sh, ids_sh, meta_sh = sharded.match(probe, company_id=cid)
     assert ids_sh == ids_loc
     np.testing.assert_allclose(s_sh, s_loc, atol=1e-5)
+
+
+def test_bf16_gallery_matches_same_ids(world):
+    """Opt-in bfloat16 gallery returns the same top-1 ids (scores ~3e-3)."""
+    import dataclasses
+
+    cfg, ds, client, cid, worker = world
+    for emp, seed in (("E1", 42), ("E2", 43)):
+        register(client, cid, emp, person_seed=seed)
+    worker.process_available_jobs()
+
+    f32 = GalleryManager(ds, cfg)
+    cfg_bf16 = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, gallery_dtype="bfloat16"))
+    bf16 = GalleryManager(ds, cfg_bf16)
+    probe = np.stack([fake_embedding(42, 0.05), fake_embedding(43, 0.01)])
+    s32, ids32, _ = f32.match(probe, company_id=cid)
+    s16, ids16, _ = bf16.match(probe, company_id=cid)
+    assert ids16 == ids32
+    np.testing.assert_allclose(s16, s32, atol=5e-3)
