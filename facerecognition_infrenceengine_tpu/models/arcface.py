@@ -83,6 +83,39 @@ class IResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
+def layer_execution_order(depths: Sequence[int] = (3, 4, 14, 3)) -> list:
+    """[(kind, flax-subtree-path)] in torch/ONNX trace order.
+
+    Mirrors iresnet's forward: stem conv-bn-prelu; per block bn1, conv1,
+    bn2, prelu, conv2, bn3, then (stride-2 entry blocks) downsample
+    conv+bn; tail bn2(features pre-fc), fc, features-bn.  Flax auto-names
+    follow declaration order, which matches this trace — but an
+    *alphabetical* sort does not (IBasicBlock_10 < IBasicBlock_2), so the
+    ONNX converter maps against this list, never against sorted() keys.
+
+    The "dense_flatten" entry marks the NCHW flatten boundary: torch
+    flattens [B, 512, 7, 7] channel-major while this model flattens NHWC
+    spatial-major, so the Gemm weight rows must be permuted (handled in
+    tools/convert_onnx.py).
+    """
+    order = [("conv", "params/Conv_0"), ("bn", "params/BatchNorm_0"),
+             ("prelu", "params/PReLU_0")]
+    i = 0
+    for depth in depths:
+        for j in range(depth):
+            base = f"params/IBasicBlock_{i}"
+            order += [("bn", f"{base}/BatchNorm_0"), ("conv", f"{base}/Conv_0"),
+                      ("bn", f"{base}/BatchNorm_1"), ("prelu", f"{base}/PReLU_0"),
+                      ("conv", f"{base}/Conv_1"), ("bn", f"{base}/BatchNorm_2")]
+            if j == 0:  # stage-entry block: stride 2 -> downsample shortcut
+                order += [("conv", f"{base}/Conv_2"), ("bn", f"{base}/BatchNorm_3")]
+            i += 1
+    order += [("bn", "params/BatchNorm_1"),
+              ("dense_flatten", "params/Dense_0"),
+              ("bn", "params/BatchNorm_2")]
+    return order
+
+
 def iresnet50(dtype=jnp.float32) -> IResNet:
     return IResNet(depths=(3, 4, 14, 3), dtype=dtype)
 

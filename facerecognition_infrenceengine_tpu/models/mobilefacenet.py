@@ -100,6 +100,36 @@ class MobileFaceNet(nn.Module):
         return x.astype(jnp.float32)
 
 
+def layer_execution_order(stages=MobileFaceNet.stages) -> list:
+    """[(kind, flax-subtree-path)] in trace order for the ONNX converter.
+
+    Each ConvBlock traces Conv -> BN (-> PReLU); bottlenecks trace their
+    three ConvBlocks in sequence.  Used by tools/convert_onnx.py to map a
+    MobileFaceNet recognizer export (insightface's w600k_mbf.onnx layout)
+    onto this tree — shape-checked at every step, aborting on any
+    architecture divergence rather than writing a wrong pack.
+    """
+    def convblock(path: str, linear: bool = False) -> list:
+        out = [("conv", f"{path}/Conv_0"), ("bn", f"{path}/BatchNorm_0")]
+        if not linear:
+            out.append(("prelu", f"{path}/PReLU_0"))
+        return out
+
+    order = convblock("params/ConvBlock_0") + convblock("params/ConvBlock_1")
+    n = 0
+    for _expansion, _features, repeats, _stride in stages:
+        for _ in range(repeats):
+            base = f"params/Bottleneck_{n}"
+            order += convblock(f"{base}/ConvBlock_0")
+            order += convblock(f"{base}/ConvBlock_1")
+            order += convblock(f"{base}/ConvBlock_2", linear=True)
+            n += 1
+    order += convblock("params/ConvBlock_2")
+    order += convblock("params/ConvBlock_3", linear=True)
+    order += [("dense", "params/Dense_0"), ("bn", "params/BatchNorm_0")]
+    return order
+
+
 def mobilefacenet(dtype=jnp.float32) -> MobileFaceNet:
     return MobileFaceNet(dtype=dtype)
 

@@ -71,7 +71,7 @@ def _synthetic_leaf(path: str, shape, dtype, seed: int) -> np.ndarray:
     # sigmoid ~= 0.01 — without it every anchor scores ~0.5 and hermetic
     # runs detect max_faces phantom faces per frame) and the per-level
     # bbox scales (ones init).
-    if path.endswith("SCRFDHead_0/Conv_0/bias"):
+    if path.endswith("head/cls/bias"):
         return np.full(shape, -4.595, npdtype)
     if leaf.startswith("bbox_scale"):
         return np.ones(shape, npdtype)

@@ -27,17 +27,23 @@ def distance2kps(centers: jnp.ndarray, distances: jnp.ndarray) -> jnp.ndarray:
     return d + centers[..., None, :]
 
 
-def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
-    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
-    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+def box_area(boxes: jnp.ndarray, offset: float = 0.0) -> jnp.ndarray:
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0] + offset, 0.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1] + offset, 0.0)
     return w * h
 
 
-def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """IoU matrix [N, M] for xyxy boxes a [N,4], b [M,4]."""
+def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray, offset: float = 0.0) -> jnp.ndarray:
+    """IoU matrix [N, M] for xyxy boxes a [N,4], b [M,4].
+
+    ``offset=1.0`` is the legacy integer-pixel convention insightface's
+    SCRFD NMS uses ((x2-x1+1)*(y2-y1+1)) — for small faces the ~1/size IoU
+    delta can flip a suppression decision near the threshold, so detection
+    NMS must use it for decision-exact parity with the reference.
+    """
     lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
     rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = jnp.maximum(rb - lt, 0.0)
+    wh = jnp.maximum(rb - lt + offset, 0.0)
     inter = wh[..., 0] * wh[..., 1]
-    union = box_area(a)[:, None] + box_area(b)[None, :] - inter
+    union = box_area(a, offset)[:, None] + box_area(b, offset)[None, :] - inter
     return inter / jnp.maximum(union, 1e-9)

@@ -18,13 +18,14 @@ import jax.numpy as jnp
 from .boxes import pairwise_iou
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "iou_thresh"))
+@functools.partial(jax.jit, static_argnames=("max_out", "iou_thresh", "iou_offset"))
 def nms_padded(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     *,
     max_out: int = 32,
     iou_thresh: float = 0.4,
+    iou_offset: float = 1.0,
 ):
     """Greedy NMS over K padded candidates.
 
@@ -33,12 +34,15 @@ def nms_padded(
       scores: [K] with -inf (or very negative) for padding.
       max_out: fixed number of output slots.
       iou_thresh: suppression threshold (reference uses 0.4 via insightface).
+      iou_offset: box-extent offset; default 1.0 = insightface's legacy
+        integer-pixel IoU ((x2-x1+1)*(y2-y1+1)), required for suppression
+        decisions identical to the reference's det_10g NMS.
 
     Returns (boxes [max_out,4], scores [max_out], keep_idx [max_out] int32
     into the *input* order, valid [max_out] bool).
     """
     k = scores.shape[0]
-    iou = pairwise_iou(boxes, boxes)
+    iou = pairwise_iou(boxes, boxes, offset=iou_offset)
 
     # Greedy pick-max-then-suppress: only max_out sequential steps (vs K for
     # the classic per-candidate loop) — the big win since K >> max_out and

@@ -12,15 +12,18 @@ from facerecognition_infrenceengine_tpu.ops import (
 from facerecognition_infrenceengine_tpu.ops.anchors import anchor_centers, all_anchor_centers
 
 
-def ref_iou(a, b):
+def ref_iou(a, b, offset=0.0):
     x1 = np.maximum(a[0], b[0]); y1 = np.maximum(a[1], b[1])
     x2 = np.minimum(a[2], b[2]); y2 = np.minimum(a[3], b[3])
-    inter = max(x2 - x1, 0) * max(y2 - y1, 0)
-    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    inter = max(x2 - x1 + offset, 0) * max(y2 - y1 + offset, 0)
+    ua = ((a[2] - a[0] + offset) * (a[3] - a[1] + offset)
+          + (b[2] - b[0] + offset) * (b[3] - b[1] + offset) - inter)
     return inter / ua
 
 
-def ref_greedy_nms(boxes, scores, thresh):
+def ref_greedy_nms(boxes, scores, thresh, offset=0.0):
+    """Classic greedy NMS; offset=1.0 reproduces insightface's scrfd.py nms
+    (the legacy (x2-x1+1) convention the reference runs)."""
     order = np.argsort(-scores)
     keep = []
     sup = np.zeros(len(scores), bool)
@@ -29,7 +32,7 @@ def ref_greedy_nms(boxes, scores, thresh):
             continue
         keep.append(i)
         for j in order:
-            if j != i and not sup[j] and ref_iou(boxes[i], boxes[j]) > thresh:
+            if j != i and not sup[j] and ref_iou(boxes[i], boxes[j], offset) > thresh:
                 if scores[j] <= scores[i]:
                     sup[j] = True
     return keep
@@ -77,10 +80,16 @@ def test_nms_matches_greedy_reference():
     pb[:n] = boxes
     ps[:n] = scores
 
+    # default iou_offset=1.0 == insightface's legacy NMS convention
     ob, osc, oidx, valid = nms_padded(jnp.asarray(pb), jnp.asarray(ps), max_out=32, iou_thresh=0.4)
     got_idx = [int(i) for i, v in zip(np.asarray(oidx), np.asarray(valid)) if v]
-    want_idx = ref_greedy_nms(boxes, scores, 0.4)[:32]
+    want_idx = ref_greedy_nms(boxes, scores, 0.4, offset=1.0)[:32]
     assert got_idx == want_idx
+
+    ob, osc, oidx, valid = nms_padded(jnp.asarray(pb), jnp.asarray(ps),
+                                      max_out=32, iou_thresh=0.4, iou_offset=0.0)
+    got_idx = [int(i) for i, v in zip(np.asarray(oidx), np.asarray(valid)) if v]
+    assert got_idx == ref_greedy_nms(boxes, scores, 0.4, offset=0.0)[:32]
 
 
 def test_anchor_centers_layout():

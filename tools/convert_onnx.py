@@ -2,14 +2,18 @@
 """Convert insightface buffalo_l ONNX weights to this framework's .npz packs.
 
 The reference serves the buffalo_l model pack through ONNX Runtime
-(reference infrenceServer.py:412-416): det_10g.onnx (SCRFD detector) and
-w600k_r50.onnx (ArcFace IResNet-50 recognizer).  This tool maps those ONNX
-initializers onto the flax modules in
+(reference infrenceServer.py:412-416): det_10g.onnx (SCRFD-10GF detector)
+and w600k_r50.onnx (ArcFace IResNet-50 recognizer).  This tool maps those
+ONNX initializers onto the flax modules in
 ``facerecognition_infrenceengine_tpu.models`` and writes
 ``scrfd_det_10g.npz`` / ``arcface_r50.npz`` into the weights directory, so
 ``models.weights.load_or_init`` picks them up and the engine serves
-reference-parity embeddings (BASELINE.md: <=1e-3 cosine) against galleries
-enrolled by the reference.
+reference-parity detections and embeddings (BASELINE.md: <=1e-3 cosine)
+against galleries enrolled by the reference.  ``w600k_mbf.onnx`` (the
+MobileFaceNet recognizer insightface ships in its smaller packs) maps to
+``arcface_mobilefacenet.npz`` so ``mobile_facenet_v1`` enrollment jobs
+(reference app/config/config.py:24 queues them but never serves the model)
+can produce real embeddings.
 
 Requires the ``onnx`` package (NOT installed in the build image — this tool
 runs wherever the model pack lives, e.g. a dev box with insightface).  Only
@@ -19,16 +23,26 @@ Usage:
   python tools/convert_onnx.py --pack ~/.insightface/models/buffalo_l \
       --out facerecognition_infrenceengine_tpu/models/_weights
 
+Mapping strategy — by **execution order**, not by name or sorted() keys
+(ONNX initializer names are opaque integers; alphabetical flax-key order
+scrambles IBasicBlock_10 before IBasicBlock_2): each model module exposes
+``layer_execution_order()`` listing its layers in torch trace order, and
+this tool walks the ONNX graph's nodes (topologically sorted by export)
+consuming those per-kind queues.  Every assignment is shape-checked — a
+mismatch aborts loudly rather than writing a silently-wrong pack.
+
 Layout conventions handled:
-  * ONNX Conv kernels are OIHW; flax nn.Conv wants HWIO  -> transpose(2,3,1,0).
-  * ONNX Gemm/MatMul weights are [out, in] (Gemm transB=1) -> transpose.
+  * ONNX Conv kernels are OIHW; flax nn.Conv wants HWIO -> transpose(2,3,1,0)
+    (also correct for depthwise convs: [C,1,kh,kw] -> [kh,kw,1,C]).
+  * Gemm/MatMul weights [out,in] -> transpose; at a flatten boundary the
+    rows are additionally permuted NCHW->NHWC ("dense_flatten" entries).
   * BatchNorm: onnx (scale, B, mean, var) -> flax params (scale, bias) +
     batch_stats (mean, var).
   * PReLU slopes [C,1,1] -> [C].
-
-The mapping is by topological order within each tower (flax names are
-deterministic: Conv_0, BatchNorm_0, ...), verified by shape at every step —
-a mismatch aborts loudly rather than writing a silently-wrong pack.
+  * SCRFD's stride-shared head traces once per FPN level: repeated Conv/BN
+    nodes reuse initializers and are skipped by name; the per-level bbox
+    Scale modules export as 1-element Mul constants, mapped to the
+    ``bbox_scale_{lvl}`` params in encounter order.
 
 After converting, run the parity harness:
   python tools/parity_check.py --pack ~/.insightface/models/buffalo_l
@@ -39,16 +53,14 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from collections import deque
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
 
-
-def load_onnx_initializers(path: str) -> dict:
+def load_onnx_graph(path: str):
     try:
         import onnx
         from onnx import numpy_helper
@@ -58,112 +70,172 @@ def load_onnx_initializers(path: str) -> dict:
             f"in an environment that has it ({e})")
     model = onnx.load(path)
     inits = {t.name: numpy_helper.to_array(t) for t in model.graph.initializer}
-    # Node order gives the topological visit we map against.
-    order = [(n.op_type, list(n.input), list(n.output))
-             for n in model.graph.node]
-    return inits, order
+    nodes = [(n.op_type, list(n.input), list(n.output)) for n in model.graph.node]
+    return inits, nodes
 
 
 def _conv_to_flax(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
 
 
-def iter_onnx_layers(inits: dict, order: list):
-    """Yield (op_type, param_arrays) following graph topology."""
-    for op_type, ins, _outs in order:
-        params = [inits[name] for name in ins if name in inits]
-        if params:
-            yield op_type, params
+def _expand_order(order: list) -> list:
+    """Expand model layer_execution_order entries into per-kind queue items.
 
-
-def assign_by_structure(flat_flax: dict, onnx_layers) -> dict:
-    """Map onnx layer params onto the flax flat tree by (kind, order, shape).
-
-    flat_flax: {path: np.ndarray} template (synthetic init) — defines the
-    expected structure and shapes.  Returns a new dict with the same keys.
+    Returns [(kind, module_path)] where module_path directly contains the
+    flax leaves (kernel/bias for conv, scale/bias/mean/var for bn, ...).
     """
-    # Group flax keys per layer instance, ordered by appearance in the tree.
-    convs = sorted(k for k in flat_flax if "/Conv_" in k and k.endswith("kernel"))
-    conv_biases = {k[:-6] + "bias" for k in convs}
-    denses = sorted(k for k in flat_flax if "/Dense_" in k and k.endswith("kernel"))
-    bns = sorted({k.rsplit("/", 1)[0] for k in flat_flax if "/BatchNorm_" in k})
-    prelus = sorted(k for k in flat_flax if "PReLU" in k or "negative_slope" in k)
+    out = []
+    for entry in order:
+        kind, path = entry[0], entry[1]
+        if kind == "convbn":  # ConvBN compact module: Conv_0 then BatchNorm_0
+            out.append(("conv", f"{path}/Conv_0"))
+            out.append(("bn", f"{path}/BatchNorm_0"))
+        elif kind in ("conv", "bn", "prelu", "dense", "dense_flatten", "scale"):
+            out.append((kind, path) + tuple(entry[2:]))
+        else:
+            raise ValueError(f"unknown execution-order kind {kind!r}")
+    return out
 
+
+def _check_assign(out: dict, key: str, val: np.ndarray) -> None:
+    if key not in out:
+        raise ValueError(f"flax tree has no leaf {key}")
+    if tuple(out[key].shape) != tuple(val.shape):
+        raise ValueError(f"{key}: flax {out[key].shape} vs onnx {val.shape}")
+    out[key] = np.asarray(val, out[key].dtype)
+
+
+def assign_by_execution_order(flat_flax: dict, order: list, nodes: list,
+                              inits: dict, flatten_chw=None) -> dict:
+    """Map ONNX initializers onto the flax flat tree following trace order."""
+    queues: dict = {}
+    for item in _expand_order(order):
+        queues.setdefault(item[0], deque()).append(item[1:])
     out = dict(flat_flax)
-    ci = di = bi = pi = 0
-    for op_type, params in onnx_layers:
+    consumed: set = set()
+
+    def stats_path(bn_path: str) -> str:
+        assert bn_path.startswith("params/"), bn_path
+        return "batch_stats/" + bn_path[len("params/"):]
+
+    for op_type, ins, _outs in nodes:
+        params = [name for name in ins if name in inits]
+        if not params:
+            continue
         if op_type == "Conv":
-            if ci >= len(convs):
-                raise ValueError("more ONNX Convs than flax Convs")
-            key = convs[ci]
-            w = _conv_to_flax(params[0])
-            if out[key].shape != w.shape:
-                raise ValueError(f"{key}: flax {out[key].shape} vs onnx {w.shape}")
-            out[key] = w
-            bias_key = key[:-6] + "bias"
-            if len(params) > 1 and bias_key in conv_biases:
-                out[bias_key] = params[1]
-            ci += 1
-        elif op_type in ("Gemm", "MatMul"):
-            if di >= len(denses):
-                continue  # heads may fold matmuls we don't map
-            key = denses[di]
-            w = params[0]
-            if w.shape[::-1] == out[key].shape:
-                w = w.T
-            if out[key].shape != w.shape:
-                raise ValueError(f"{key}: flax {out[key].shape} vs onnx {w.shape}")
-            out[key] = w
-            bias_key = key[:-6] + "bias"
-            if len(params) > 1 and bias_key in out:
-                out[bias_key] = params[1]
-            di += 1
+            if params[0] in consumed:
+                continue  # shared-head re-trace
+            if not queues.get("conv"):
+                raise ValueError("more ONNX Convs than expected by the model's "
+                                 "execution order")
+            (path,) = queues["conv"].popleft()
+            _check_assign(out, f"{path}/kernel", _conv_to_flax(inits[params[0]]))
+            if len(params) > 1:
+                bias_key = f"{path}/bias"
+                if bias_key not in out:
+                    raise ValueError(
+                        f"ONNX Conv for {path} carries a bias but the flax conv "
+                        "is bias-free — the export looks BN-folded; convert from "
+                        "the unfolded insightface release instead")
+                _check_assign(out, bias_key, inits[params[1]])
+            consumed.update(params)
         elif op_type == "BatchNormalization":
-            if bi >= len(bns):
-                raise ValueError("more ONNX BNs than flax BNs")
-            base = bns[bi]
-            scale, bias, mean, var = params[:4]
-            for suffix, val in (("scale", scale), ("bias", bias),
-                                ("mean", mean), ("var", var)):
-                key = f"{base}/{suffix}"
-                if key in out:
-                    if out[key].shape != val.shape:
-                        raise ValueError(
-                            f"{key}: flax {out[key].shape} vs onnx {val.shape}")
-                    out[key] = val
-            bi += 1
+            if params[0] in consumed:
+                continue
+            if not queues.get("bn"):
+                raise ValueError("more ONNX BatchNorms than expected")
+            (path,) = queues["bn"].popleft()
+            scale, bias, mean, var = (inits[p] for p in params[:4])
+            _check_assign(out, f"{path}/scale", scale)
+            _check_assign(out, f"{path}/bias", bias)
+            _check_assign(out, f"{stats_path(path)}/mean", mean)
+            _check_assign(out, f"{stats_path(path)}/var", var)
+            consumed.update(params)
         elif op_type == "PRelu":
-            if pi < len(prelus):
-                key = prelus[pi]
-                out[key] = params[0].reshape(out[key].shape)
-                pi += 1
-    if ci != len(convs):
-        raise ValueError(f"mapped {ci}/{len(convs)} convs — structure mismatch")
+            if params[0] in consumed:
+                continue
+            if not queues.get("prelu"):
+                raise ValueError("more ONNX PRelus than expected")
+            (path,) = queues["prelu"].popleft()
+            key = f"{path}/alpha"
+            _check_assign(out, key, inits[params[0]].reshape(out[key].shape))
+            consumed.update(params)
+        elif op_type in ("Gemm", "MatMul"):
+            if params[0] in consumed:
+                continue
+            kind = "dense_flatten" if queues.get("dense_flatten") else "dense"
+            if not queues.get(kind):
+                raise ValueError("more ONNX Gemm/MatMuls than expected")
+            entry = queues[kind].popleft()
+            path = entry[0]
+            w = inits[params[0]]
+            key = f"{path}/kernel"
+            if kind == "dense_flatten":
+                # torch flattens NCHW channel-major; flax flattens NHWC
+                # spatial-major: permute the input rows C*H*W -> H*W*C.
+                if flatten_chw is None:
+                    raise ValueError("dense_flatten entry needs flatten_chw")
+                c, h, wd = flatten_chw
+                n_out = w.shape[0] if w.shape[1] == c * h * wd else w.shape[1]
+                w = w.reshape(n_out, c, h, wd) if w.shape[0] == n_out else \
+                    w.T.reshape(n_out, c, h, wd)
+                w = np.transpose(w, (2, 3, 1, 0)).reshape(h * wd * c, n_out)
+            elif tuple(w.shape[::-1]) == tuple(out[key].shape):
+                w = w.T
+            _check_assign(out, key, w)
+            if len(params) > 1:
+                bias_key = f"{path}/bias"
+                if bias_key in out:
+                    _check_assign(out, bias_key, inits[params[1]])
+            consumed.update(params)
+        elif op_type == "Mul":
+            # Per-level bbox Scale modules: 1-element constants.
+            if len(params) == 1 and inits[params[0]].size == 1 \
+                    and queues.get("scale") and params[0] not in consumed:
+                (path,) = queues["scale"].popleft()
+                _check_assign(out, path,
+                              inits[params[0]].reshape(out[path].shape))
+                consumed.add(params[0])
+
+    leftovers = {k: len(q) for k, q in queues.items() if q}
+    if leftovers:
+        raise ValueError(f"unmapped flax layers remain: {leftovers} — the ONNX "
+                         "graph has fewer layers than the flax model")
     return out
 
 
 def convert(pack_dir: str, out_dir: str) -> None:
-    from facerecognition_infrenceengine_tpu.models import arcface, scrfd
+    import jax.numpy as jnp
+
+    from facerecognition_infrenceengine_tpu.models import (arcface,
+                                                           mobilefacenet,
+                                                           scrfd)
     from facerecognition_infrenceengine_tpu.models.weights import (
         flatten_tree, load_or_init, save_variables, unflatten_tree)
 
     os.makedirs(out_dir, exist_ok=True)
     jobs = [
         ("det_10g.onnx", "scrfd_det_10g",
-         scrfd.SCRFD(scrfd.CONFIGS["det_10g"]), (1, 640, 640, 3)),
+         scrfd.SCRFD(scrfd.CONFIGS["det_10g"]), (1, 640, 640, 3),
+         scrfd.layer_execution_order(scrfd.CONFIGS["det_10g"]), None),
         ("w600k_r50.onnx", "arcface_r50",
-         arcface.iresnet50(), (1, 112, 112, 3)),
+         arcface.iresnet50(), (1, 112, 112, 3),
+         arcface.layer_execution_order((3, 4, 14, 3)), (512, 7, 7)),
+        ("w600k_mbf.onnx", "arcface_mobilefacenet",
+         mobilefacenet.mobilefacenet(), (1, 112, 112, 3),
+         mobilefacenet.layer_execution_order(), None),
     ]
-    for onnx_name, npz_name, module, shape in jobs:
+    for onnx_name, npz_name, module, shape, order, flatten_chw in jobs:
         src = os.path.join(pack_dir, onnx_name)
         if not os.path.exists(src):
             print(f"skip {onnx_name}: not found in {pack_dir}")
             continue
-        inits, order = load_onnx_initializers(src)
+        inits, nodes = load_onnx_graph(src)
         template = load_or_init(npz_name + "__template__", module,
                                 jnp.zeros(shape, jnp.float32))
         flat = flatten_tree(template)
-        mapped = assign_by_structure(flat, iter_onnx_layers(inits, order))
+        mapped = assign_by_execution_order(flat, order, nodes, inits,
+                                           flatten_chw=flatten_chw)
         dst = os.path.join(out_dir, f"{npz_name}.npz")
         save_variables(dst, unflatten_tree(mapped))
         print(f"wrote {dst} ({len(mapped)} tensors)")
