@@ -8,28 +8,21 @@ sites: ``store_embedding(content, filename, metadata, model) -> emb_entry``
 
 Embedding wire format: pickled numpy float32[512], exactly what the
 reference's workers write and the gallery managers read
-(trainingServer.py:384-398, infrenceServer.py:269-273).
+(trainingServer.py:384-398, infrenceServer.py:269-273).  Deserialization
+goes through core.serialization's restricted unpickler — client-supplied
+blobs (/register with embeddingAttached) must not be able to execute code.
 """
 
 from __future__ import annotations
 
-import pickle
-
 import numpy as np
 
+from ..core.serialization import (deserialize_embedding,  # noqa: F401
+                                  serialize_embedding)
 from ..store.client import Datastore
 from ..store.objectid import ObjectId
 from .docmodels import build_embedding_entry
 from .utils import get_current_utc
-
-
-def serialize_embedding(vector: np.ndarray) -> bytes:
-    return pickle.dumps(np.asarray(vector, dtype=np.float32))
-
-
-def deserialize_embedding(blob: bytes) -> np.ndarray:
-    vec = pickle.loads(blob)
-    return np.asarray(vec, dtype=np.float32)
 
 
 def store_embedding(ds: Datastore, content: bytes, filename: str,

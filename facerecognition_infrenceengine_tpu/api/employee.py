@@ -22,7 +22,8 @@ from ..store.objectid import ObjectId
 from ..web import Blueprint, Response, jsonify, request
 from .constants import POSES
 from .docmodels import build_employee_doc
-from .embeddings import get_embedding_file, store_embedding
+from .embeddings import (deserialize_embedding, get_embedding_file,
+                         store_embedding)
 from .utils import (
     company_query,
     error_response,
@@ -166,6 +167,29 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
             embedding_attached = request.form.get(
                 "embeddingAttached", "false").lower() == "true"
             embedding_version = request.form.get("embeddingVersion")
+            emb_bytes = emb_filename = None
+            if embedding_attached:
+                # Validate BEFORE any write: a rejected blob must not leave a
+                # half-registered employee (images/doc) behind.
+                if not embedding_version or "embedding" not in request.files:
+                    return error_response(
+                        "embeddingVersion and embedding file required when "
+                        "embeddingAttached is true")
+                if embedding_version not in cfg.api.allowed_models:
+                    return error_response("Embedding model not allowed.", 400)
+                emb_file = request.files.get("embedding")
+                emb_bytes = emb_file.read()
+                emb_filename = emb_file.filename
+                # The blob is later unpickled by the gallery/worker — only a
+                # plain numeric vector may pass (core/serialization
+                # restricted unpickler; a crafted pickle must be rejected
+                # here, not executed later).
+                try:
+                    deserialize_embedding(emb_bytes)
+                except Exception:
+                    return error_response(
+                        "Attached embedding is not a valid embedding vector.",
+                        400)
             embeddings_dict: dict = {}
             image_dict: dict = {}
 
@@ -214,29 +238,9 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
                 {"companyId": ObjectId(data["companyId"]),
                  "employeeId": data["employeeId"]})
 
-            # queue one embedding job per allowed model (employee.py:163-178)
-            for model in cfg.api.allowed_models:
-                ds.embedding_jobs.insert_one({
-                    "employeeId": employee["_id"],
-                    "companyId": ObjectId(data["companyId"]),
-                    "model": model,
-                    "status": "queued",
-                    "createdAt": get_current_utc(),
-                    "params": {},
-                })
-                embeddings_dict[model] = {"status": "queued",
-                                          "queuedAt": get_current_utc()}
-
             if embedding_attached:
-                if not embedding_version or "embedding" not in request.files:
-                    return error_response(
-                        "embeddingVersion and embedding file required when "
-                        "embeddingAttached is true")
-                if embedding_version not in cfg.api.allowed_models:
-                    return error_response("Embedding model not allowed.", 400)
-                emb_file = request.files.get("embedding")
                 emb_entry = store_embedding(
-                    ds, emb_file.read(), emb_file.filename,
+                    ds, emb_bytes, emb_filename,
                     {"companyId": data["companyId"],
                      "employeeId": data["employeeId"],
                      "model": embedding_version, "type": "embedding",
@@ -249,6 +253,33 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
                     {"companyId": ObjectId(data["companyId"]),
                      "employeeId": data["employeeId"]},
                     {"$set": {f"employeeEmbeddings.{embedding_version}": emb_entry}})
+
+            # Queue one embedding job per allowed model (employee.py:163-178),
+            # except: (a) the model whose embedding the client just attached —
+            # the worker would recompute from pose images and overwrite the
+            # attached 'done' entry; (b) models with a job already queued for
+            # this employee — re-registering mid-enrollment must not stack
+            # duplicate jobs (reference employee.py:164-165 guard); the
+            # existing queued job reads the *new* pose images when it runs.
+            for model in cfg.api.allowed_models:
+                if embedding_attached and model == embedding_version:
+                    continue
+                already_queued = ds.embedding_jobs.find_one({
+                    "employeeId": employee["_id"],
+                    "model": model,
+                    "status": "queued",
+                })
+                if not already_queued:
+                    ds.embedding_jobs.insert_one({
+                        "employeeId": employee["_id"],
+                        "companyId": ObjectId(data["companyId"]),
+                        "model": model,
+                        "status": "queued",
+                        "createdAt": get_current_utc(),
+                        "params": {},
+                    })
+                embeddings_dict[model] = {"status": "queued",
+                                          "queuedAt": get_current_utc()}
 
             # persist queued-status entries on the doc so the worker and
             # later reads see them (the reference builds embeddings_dict after

@@ -20,7 +20,6 @@ from __future__ import annotations
 import itertools
 import logging
 import os
-import pickle
 import socket
 import threading
 import time
@@ -31,6 +30,7 @@ from enum import Enum
 import numpy as np
 
 from ..api.utils import get_current_utc
+from ..core.serialization import deserialize_embedding, serialize_embedding
 from ..core.config import Config, WorkerConfig, get_config
 from ..ops import matching  # noqa: F401  (cosine path used via numpy here)
 from ..store.client import Datastore
@@ -164,15 +164,19 @@ class FaceEmbeddingWorker:
         fs = (self.ds.employee_embeddings if id_field == "employee"
               else self.ds.visitor_embeddings)
         ids, vectors = [], []
+        # status=done filters out failed/duplicate-flagged people whose
+        # leftover blobs would otherwise still count as duplicates (the
+        # reference scans on $exists alone, propagating stale state).
         for doc in collection.find({
                 "companyId": company_id,
-                f"{key}.{model}.embeddingId": {"$exists": True}}):
+                f"{key}.{model}.embeddingId": {"$exists": True},
+                f"{key}.{model}.status": "done"}):
             if exclude_doc_id is not None and doc["_id"] == exclude_doc_id:
                 continue
             try:
                 entry = doc[key][model]
                 blob = fs.get(ObjectId(str(entry["embeddingId"]))).read()
-                vec = np.asarray(pickle.loads(blob), np.float32).reshape(-1)
+                vec = deserialize_embedding(blob)
                 n = np.linalg.norm(vec)
                 if n > 0:
                     ids.append(doc.get(f"{id_field}Id") or doc["_id"])
@@ -287,7 +291,7 @@ class FaceEmbeddingWorker:
                 return True
 
             embedding_id = embedding_fs.put(
-                pickle.dumps(avg_embedding.astype(np.float32)),
+                serialize_embedding(avg_embedding),
                 filename=f"{company_id}_{doc_id}_{model}.pkl",
                 metadata={"companyId": company_id, f"{id_field}Id": doc_id,
                           "model": model, "type": "embedding",

@@ -21,7 +21,6 @@ TPU-first differences:
 from __future__ import annotations
 
 import logging
-import pickle
 import threading
 import time
 from typing import Dict, Tuple
@@ -29,6 +28,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from ..core.config import Config, get_config
+from ..core.serialization import deserialize_embedding
 from ..store.client import Datastore
 from ..store.objectid import ObjectId
 from ..api.utils import get_current_utc
@@ -144,7 +144,7 @@ class GalleryManager:
                 entry = employee["employeeEmbeddings"]["buffalo_l"]
                 blob = self.ds.employee_embeddings.get(
                     ObjectId(str(entry["embeddingId"]))).read()
-                loaded[pid] = _normalize(pickle.loads(blob))
+                loaded[pid] = _normalize(deserialize_embedding(blob))
                 meta[pid] = {
                     "name": employee.get("employeeName", "Unknown"),
                     "employeeId": employee.get("employeeId", "Unknown"),
@@ -165,7 +165,7 @@ class GalleryManager:
                     continue
                 blob = self.ds.visitor_embeddings.get(
                     ObjectId(str(entry["embeddingId"]))).read()
-                loaded[pid] = _normalize(pickle.loads(blob))
+                loaded[pid] = _normalize(deserialize_embedding(blob))
                 meta[pid] = {
                     "name": visitor.get("visitorName", "Unknown"),
                     "type": "visitor",
@@ -187,16 +187,26 @@ class GalleryManager:
             {"$or": [{"status": {"$ne": "active"}}, {"blacklisted": True}]},
             {"_id": 1})
         inactive_ids = {str(d["_id"]) for d in inactive}
+        # Hard-deleted people (DELETE mode=hard removes the doc entirely,
+        # employee.py:457) never match the inactive query — check cached ids
+        # still exist, else a deleted identity keeps matching until restart.
+        with self._lock:
+            cached = [ObjectId(pid) for pid in self.embeddings
+                      if len(pid) == 24]
+        existing: set = set()
+        for coll in (self.ds.employee_info, self.ds.visitors):
+            for d in coll.find({"_id": {"$in": cached}}, {"_id": 1}):
+                existing.add(str(d["_id"]))
         with self._lock:
             removed = 0
             for pid in list(self.embeddings):
-                if pid in inactive_ids:
+                if pid in inactive_ids or (len(pid) == 24 and pid not in existing):
                     del self.embeddings[pid]
                     self.metadata.pop(pid, None)
                     removed += 1
             if removed:
                 self._invalidate_locked()
-                logger.info("Removed %d inactive embeddings", removed)
+                logger.info("Removed %d inactive/deleted embeddings", removed)
 
     def _invalidate_locked(self):
         self._version += 1
