@@ -7,20 +7,34 @@ MicroBatcher, so N streams batch into one jitted program.  Capture settings
 (640x480@30, buffer 1) and drop-on-full semantics are preserved
 (infrenceServer.py:581-584, :594-598); display (cv2.imshow) is optional and
 off by default for headless serving.
+
+Capture is **free-running**: the capture thread never waits on recognition
+(the reference keeps capture unblocked and drops stale frames,
+infrenceServer.py:594-598).  Each submitted frame carries a completion
+callback; the micro-batcher drops the oldest queued frame per source when a
+newer one arrives, and completed recognitions flow through a bounded
+results stage (match + HUD + on_result) that likewise drops oldest under
+load — so every stage stays live at camera rate even when the device or the
+consumer is slower than the cameras.
 """
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
+from collections import deque
 from typing import Callable, Dict, List
 
+from ..core import metrics
 from ..core.config import Config, get_config
 from ..engine.gallery import GalleryManager
 from ..engine.microbatch import MicroBatcher
 from ..engine.recognizer import FaceRecognitionProcessor
 
 logger = logging.getLogger("fre.cameras")
+
+_RESULTS_DEPTH = 64  # bounded post-recognition stage; drops oldest on overflow
 
 
 class CameraManager:
@@ -36,6 +50,12 @@ class CameraManager:
         self.threads: List[threading.Thread] = []
         self.batcher: MicroBatcher | None = None
         self.processor: FaceRecognitionProcessor | None = None
+        self._results: deque = deque()
+        self._results_lock = threading.Lock()
+        self._results_event = threading.Event()
+        self._results_thread: threading.Thread | None = None
+        self.stats: Dict[str, int] = {"frames_captured": 0, "results": 0,
+                                      "results_dropped": 0}
 
     def _ensure_runtime(self):
         if self.face_app is None:
@@ -51,10 +71,9 @@ class CameraManager:
             self.processor = FaceRecognitionProcessor(
                 self.gallery, face_app=self.face_app, cfg=self.cfg)
 
+    # ------------------------------------------------------------- capture
     def _capture_loop(self, source, company_id: str):
         import cv2
-
-        import numpy as np
 
         cap = cv2.VideoCapture(source)
         if not cap.isOpened():
@@ -69,26 +88,69 @@ class CameraManager:
             ret, frame = cap.read()
             if not ret:
                 continue
+            self.stats["frames_captured"] += 1
+            # Free-running: submit and immediately read the next frame. The
+            # batcher's per-source slot drops the oldest undispatched frame
+            # if recognition lags (reference drop semantics); completion is
+            # handled asynchronously by the results stage.
             future = self.batcher.submit(source, frame)
-            try:
-                faces = future.result(timeout=2)
-            except Exception as e:
-                logger.error("Recognition error on %s: %s", source, e)
-                continue
-            _, results = self.processor.match_faces(frame, faces, company_id,
-                                                    draw=True)
-            if self.on_result:
-                self.on_result(source, frame, results)
-            if self.display:
-                cv2.imshow(f"Camera {source}", frame)
-                if cv2.waitKey(1) & 0xFF == ord("q"):
-                    self.running = False
+            future.add_done_callback(
+                functools.partial(self._enqueue_result, source, company_id,
+                                  frame))
         cap.release()
         logger.info("Camera %s released", source)
 
+    # ------------------------------------------------------------- results
+    def _enqueue_result(self, source, company_id, frame, future):
+        """Runs on the batcher's dispatch thread — must stay cheap."""
+        if getattr(future, "dropped", False):
+            return  # stale frame superseded by a newer capture
+        exc = future.exception()
+        if exc is not None:
+            logger.error("Recognition error on %s: %s", source, exc)
+            return
+        with self._results_lock:
+            if len(self._results) >= _RESULTS_DEPTH:
+                self._results.popleft()
+                self.stats["results_dropped"] += 1
+                metrics.counter("cameras.results_dropped").inc()
+            self._results.append((source, company_id, frame, future.result()))
+        self._results_event.set()
+
+    def _results_loop(self):
+        """Match + HUD + consumer callback, decoupled from capture/dispatch."""
+        import cv2
+
+        while True:
+            self._results_event.wait(timeout=0.1)
+            self._results_event.clear()
+            while True:
+                with self._results_lock:
+                    if not self._results:
+                        break
+                    source, company_id, frame, faces = self._results.popleft()
+                _, results = self.processor.match_faces(frame, faces,
+                                                        company_id, draw=True)
+                self.stats["results"] += 1
+                if self.on_result:
+                    self.on_result(source, frame, results)
+                if self.display:
+                    cv2.imshow(f"Camera {source}", frame)
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        self.running = False
+            if not self.running:
+                with self._results_lock:
+                    drained = not self._results
+                if drained:
+                    break
+
+    # -------------------------------------------------------------- control
     def start_cameras(self, sources: list, company_id: str):
         self._ensure_runtime()
         self.running = True
+        self._results_thread = threading.Thread(target=self._results_loop,
+                                                daemon=True)
+        self._results_thread.start()
         for source in sources:
             t = threading.Thread(target=self._capture_loop,
                                  args=(source, company_id), daemon=True)
@@ -103,3 +165,7 @@ class CameraManager:
         if self.batcher:
             self.batcher.stop()
             self.batcher = None
+        if self._results_thread:
+            self._results_event.set()
+            self._results_thread.join(timeout=5)
+            self._results_thread = None

@@ -94,3 +94,58 @@ def test_people_count_api(cfg):
     summary = c.get("/api/analytics/summary").get_json()["data"]
     assert summary["total_campuses"] == 1
     assert summary["total_inside"] == 1
+
+
+def test_capture_is_free_running(cfg, monkeypatch):
+    """Capture must never wait on recognition (reference keeps capture
+    unblocked and drops stale frames, infrenceServer.py:594-598): with a
+    slow recognizer, far more frames are captured than dispatched, stale
+    frames are dropped by the batcher, and results still flow."""
+    import time
+
+    import cv2
+
+    class FakeCap:
+        def __init__(self, *_):
+            self.frames = 0
+
+        def isOpened(self):
+            return True
+
+        def set(self, *_):
+            pass
+
+        def read(self):
+            self.frames += 1
+            time.sleep(0.002)  # ~500 fps source
+            return True, np.zeros((16, 16, 3), np.uint8)
+
+        def release(self):
+            pass
+
+    class SlowApp:
+        def __init__(self, delay=0.05):
+            self.delay = delay
+            self.dispatches = 0
+
+        def get_batch(self, frames, max_num=0):
+            time.sleep(self.delay)  # device much slower than the cameras
+            self.dispatches += 1
+            return [[] for _ in frames]
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCap)
+    ds = Datastore(cfg)
+    gallery = GalleryManager(ds, cfg)
+    app = SlowApp()
+    seen = []
+    cm = CameraManager(gallery, face_app=app, cfg=cfg,
+                       on_result=lambda src, frame, res: seen.append(src))
+    cm.start_cameras(["cam0", "cam1"], company_id=None)
+    time.sleep(0.6)
+    cm.stop_cameras()
+
+    captured = cm.stats["frames_captured"]
+    assert captured > 4 * app.dispatches, (captured, app.dispatches)
+    assert cm.stats["results"] > 0 and seen  # recognitions still flowed
+    # stale frames were dropped, not queued behind the slow device
+    assert captured > cm.stats["results"]
