@@ -90,6 +90,9 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         validations = {
             **definition["structure"].get("defaultValidations", {}),
             **definition["structure"].get("validations", {}),
+            # per-type validations (what the definition editor writes and
+            # template clones store per entity type, entity.py:666)
+            **etypes.get(entity_type, {}).get("validations", {}),
         }
         for attr, pattern in validations.items():
             value = entity_data.get("attributes", {}).get(attr)

@@ -58,6 +58,10 @@ def make_ui_bp() -> Blueprint:
     def company_details():
         return page("company-details.html")
 
+    @bp.route("/employees", methods=["GET"])
+    def employees():
+        return page("employees.html")
+
     @bp.route("/static/<path:filename>", methods=["GET"])
     def static_file(filename: str):
         ext = os.path.splitext(filename)[1].lower()

@@ -200,36 +200,7 @@ function openStructure(d) {
 
 function openCustomize(d) {
   STATE.selectedDefinition = d;
-  $('#customize-title').textContent = `${d.name} — customize`;
-  $('#cz-name').value = d.name;
-  $('#cz-description').value = d.description || '';
-  $('#cz-structure').value = JSON.stringify(d.structure || {}, null, 2);
-  $('#cz-relationships').value = JSON.stringify(d.relationships || [], null, 2);
-  openModal('customize-modal');
-}
-
-async function saveCustomization(ev) {
-  ev.preventDefault();
-  const d = STATE.selectedDefinition;
-  if (!d) return;
-  let structure, relationships;
-  try {
-    structure = JSON.parse($('#cz-structure').value);
-    relationships = JSON.parse($('#cz-relationships').value);
-  } catch (e) { toast('Structure/relationships must be valid JSON', true); return; }
-  try {
-    await api(`${API_CONFIG.ENDPOINTS.DEFINITIONS}/${d._id}`, {
-      method: 'PUT',
-      json: {
-        name: $('#cz-name').value.trim(),
-        description: $('#cz-description').value.trim(),
-        structure, relationships,
-      },
-    });
-    toast('Definition updated');
-    closeModal('customize-modal');
-    loadDefinitions();
-  } catch (e) { toast(e.message, true); }
+  openEditor(d);  // definition-editor.js: structured two-pane editor
 }
 
 // ----------------------------------------------------------- entity actions
@@ -344,7 +315,6 @@ document.addEventListener('DOMContentLoaded', async () => {
     } catch (e) { toast(e.message, true); }
   });
 
-  $('#customize-form').addEventListener('submit', saveCustomization);
   $('#entity-form').addEventListener('submit', createEntity);
   $('#entity-definition').addEventListener('change', refreshEntityTypeOptions);
   $('#entity-type').addEventListener('change', refreshAttributeHints);

@@ -22,7 +22,7 @@ def client():
     return app.test_client()
 
 
-PAGES = ["/ui/", "/ui/companies", "/ui/company-details"]
+PAGES = ["/ui/", "/ui/companies", "/ui/company-details", "/ui/employees"]
 
 
 @pytest.mark.parametrize("path", PAGES)
@@ -75,3 +75,105 @@ def test_static_unknown_extension_rejected(client):
 def test_ui_talks_to_pinned_api_prefix(client):
     js = client.get("/ui/static/config.js").text
     assert "'/bharatlytics/v1'" in js  # reference app/static/js/config.js:3
+
+
+def test_js_dom_ids_exist_in_pages(client):
+    """Static wiring check (no JS runtime in this image): every '#id'
+    selector a page's scripts query must exist in that page's HTML — this
+    catches editor/modal wiring regressions the way a browser smoke test
+    would (e.g. a handler bound to a removed form)."""
+    # a script may be shared by several pages and guard with data-page;
+    # its ids must exist in the union of the pages that load it
+    script_pages = {}
+    page_ids = {}
+    for path in PAGES:
+        html = client.get(path).text
+        page_ids[path] = set(re.findall(r'id="([^"]+)"', html))
+        for src in re.findall(r'<script src="(/ui/static/[^"]+)"', html):
+            script_pages.setdefault(src, []).append(path)
+    dynamic_ids = {"toast"}  # created by api.js at runtime
+    for src, pages in script_pages.items():
+        js = client.get(src).text
+        union = dynamic_ids.union(*(page_ids[p] for p in pages))
+        for sel in re.findall(r"\$\('#([A-Za-z0-9_-]+)'\)", js):
+            assert sel in union, (
+                f"{src} (loaded by {pages}) queries #{sel}, "
+                f"absent from every page that loads it")
+
+
+def test_js_brackets_balanced(client):
+    """Crude parse sanity for every served script: (), {}, [] balance
+    outside strings/comments — catches truncation/merge damage."""
+    seen = set()
+    for path in PAGES:
+        html = client.get(path).text
+        for src in re.findall(r'<script src="(/ui/static/[^"]+)"', html):
+            if src in seen:
+                continue
+            seen.add(src)
+            js = client.get(src).text
+            # strip strings, template literals and comments
+            js = re.sub(r"//[^\n]*", "", js)
+            js = re.sub(r"/\*.*?\*/", "", js, flags=re.S)
+            # quote-strings cannot span lines in JS — keep \n out of the
+            # character class or the match swallows code between strings
+            js = re.sub(r"'(?:\\.|[^'\\\n])*'", "''", js)
+            js = re.sub(r'"(?:\\.|[^"\\\n])*"', '""', js)
+            js = re.sub(r"`(?:\\.|[^`\\])*`", "``", js)
+            for o, c in (("(", ")"), ("{", "}"), ("[", "]")):
+                assert js.count(o) == js.count(c), (
+                    f"{src}: unbalanced {o}{c} "
+                    f"({js.count(o)} vs {js.count(c)})")
+
+
+def test_definition_editor_roundtrip(client):
+    """The editor's save contract: PUT structure (required attrs, allowed
+    values, validations) + relationships (cardinality, min/maxChildren),
+    then read back — exactly the payload definition-editor.js sends."""
+    cid = client.post("/bharatlytics/v1/companies/seed").get_json()["company"]["_id"]
+    templates = client.get("/bharatlytics/v1/entities/templates").get_json()
+    assert templates
+    r = client.post("/bharatlytics/v1/entity-definitions/from-template",
+                    json_body={"templateId": templates[0]["_id"],
+                               "companyId": cid, "name": "Editor RT",
+                               "description": "round trip"})
+    assert r.status_code in (200, 201), r.text
+    def_id = r.get_json()["id"]
+
+    structure = {
+        "entityTypes": {
+            "plant": {"description": "Factory",
+                      "requiredAttributes": ["plantCode"],
+                      "designation": "Plant Head",
+                      "allowedValues": {"region": ["north", "south"]},
+                      "validations": {"plantCode": "^PLT\\d{3}$"}},
+            "line": {"description": "Line", "requiredAttributes": []},
+        },
+    }
+    relationships = [{"parentType": "plant", "childType": "line",
+                      "cardinality": "one_to_many",
+                      "constraints": {"minChildren": 0, "maxChildren": 4}}]
+    r = client.put(f"/bharatlytics/v1/entity-definitions/{def_id}",
+                   json_body={"name": "Editor RT v2", "description": "edited",
+                              "structure": structure,
+                              "relationships": relationships})
+    assert r.status_code == 200, r.text
+    got = client.get(f"/bharatlytics/v1/entity-definitions/{def_id}").get_json()
+    assert got["name"] == "Editor RT v2"
+    assert got["structure"]["entityTypes"]["plant"]["validations"] == {
+        "plantCode": "^PLT\\d{3}$"}
+    assert got["structure"]["entityTypes"]["plant"]["allowedValues"] == {
+        "region": ["north", "south"]}
+    assert got["relationships"][0]["constraints"]["maxChildren"] == 4
+
+    # the edited definition actually enforces what the editor wrote
+    r = client.post("/bharatlytics/v1/entities",
+                    json_body={"name": "P1", "type": "plant",
+                               "definitionId": def_id, "companyId": cid,
+                               "attributes": {"plantCode": "WRONG"}})
+    assert r.status_code == 400  # regex validation rejects
+    r = client.post("/bharatlytics/v1/entities",
+                    json_body={"name": "P1", "type": "plant",
+                               "definitionId": def_id, "companyId": cid,
+                               "attributes": {"plantCode": "PLT001"}})
+    assert r.status_code in (200, 201), r.text
