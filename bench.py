@@ -156,6 +156,46 @@ def main():
                            n1=64, n2=1024, reps=5)
     gallery_qps = n_q / max(g_s, 1e-9)
 
+    # 1M-ID gallery (the reference's scale axis, SURVEY §5.7): f32 XLA is
+    # the bit-exact parity path; int8 is the opt-in fused-Pallas path
+    # (ops/match_pallas.py).  Gallery built on device — 2 GB would take
+    # minutes over the tunnel link.
+    n_1m = 1 << 20
+    gal_1m = jax.jit(lambda: l2_normalize(jax.random.normal(
+        jax.random.PRNGKey(0), (n_1m, 512), jnp.float32)))()
+    valid_1m = jnp.ones((n_1m,), bool)
+    g1m_s = device_loop_time(gallery_loop_runner(q, gal_1m, valid_1m),
+                             n1=8, n2=64, reps=3)
+    i8_scale = float(jnp.max(jnp.abs(gal_1m))) / 127.0
+    gal_i8 = jax.jit(lambda g: jnp.clip(
+        jnp.rint(g / i8_scale), -127, 127).astype(jnp.int8))(gal_1m)
+
+    def int8_loop_runner():
+        from facerecognition_infrenceengine_tpu.ops.match_pallas import (
+            gallery_top1_int8)
+
+        def loop(q0, g, n):
+            def body(i, acc):
+                vals, idx = gallery_top1_int8(
+                    q0 + (i % 7).astype(jnp.float32) * 1e-3, g,
+                    jnp.float32(i8_scale), jnp.int32(n_1m))
+                return acc + vals.sum() + idx.sum().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        fn = jax.jit(loop)
+
+        def run(n):
+            return float(fn(q, gal_i8, jnp.int32(n)))
+
+        return run
+
+    if jax.default_backend() == "tpu":
+        g1m_i8_s = device_loop_time(int8_loop_runner(), n1=8, n2=64, reps=3)
+        gallery_qps_1m_int8 = round(n_q / max(g1m_i8_s, 1e-9), 1)
+    else:
+        gallery_qps_1m_int8 = None
+
     result = {
         "metric": "faces_per_sec_per_chip",
         "value": round(faces_per_sec, 1),
@@ -167,6 +207,8 @@ def main():
             "fused_iter_ms": round(it_s * 1000.0, 3),
             "frame_latency_b1_ms": round(frame_ms, 3),
             "gallery_qps_100k": round(gallery_qps, 1),
+            "gallery_qps_1m_f32": round(n_q / max(g1m_s, 1e-9), 1),
+            "gallery_qps_1m_int8": gallery_qps_1m_int8,
             "device": str(jax.devices()[0]),
             "commit": _git_commit(),
         },

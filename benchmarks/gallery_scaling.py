@@ -1,10 +1,24 @@
-"""Gallery match QPS vs gallery size (the reference's only scale axis).
+"""Gallery match QPS vs gallery size, dtype, and implementation.
 
 The reference's per-frame hot loop is an O(N) python cosine scan
-(reference infrenceServer.py:538-542).  Here matching is an L2-normalized
-matmul + top-k on device; this benchmark sweeps gallery size on one chip
-and — with JAX_GALLERY_MESH=8 on a CPU host — the sharded
-distributed_topk path over a virtual mesh.
+(reference infrenceServer.py:538-542).  Here the k=1 match is a fused
+Pallas kernel (ops/match_pallas.py) that streams the gallery through
+VMEM once; the XLA path (ops/matching.cosine_topk) is the fallback and
+the baseline this table compares against.
+
+ROOT CAUSE of the round-1 "bf16 NOT faster" contradiction (commit
+373e66c vs the HBM-bound claim): the match IS HBM-bandwidth-bound, but
+in the XLA path the bandwidth is not just gallery bytes — XLA
+materializes the full [B, N] f32 score tensor and re-reads it for
+lax.top_k, so halving the gallery bytes left the f32 score traffic
+dominating (measured v5e, 1M IDs, B=64: XLA f32 2.57 ms, XLA bf16
+2.51 ms — no win).  The fused kernel's only HBM traffic is the gallery
+itself (running top-1 lives in VMEM), so dtype now scales the time:
+pallas f32 2.71 ms / bf16 1.33 ms / int8 0.72 ms (~745-810 GB/s, the
+chip's ~819 GB/s speed of light).
+
+Galleries are generated on device (the 2 GB 1M-ID matrix would take
+minutes over the axon tunnel's ~20 MB/s link).
 
 Usage: python benchmarks/gallery_scaling.py [n_queries]
 """
@@ -21,20 +35,15 @@ import numpy as np
 
 # TPU-only persistent compile cache (XLA:CPU AOT entries are
 # machine-specific and can SIGILL elsewhere).
-try:
-    import jax as _jax_cache_gate
-    if _jax_cache_gate.default_backend() == "tpu":
-        _jax_cache_gate.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-        _jax_cache_gate.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+if jax.default_backend() == "tpu":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-
-def loop_time(run, n1=64, n2=1024, reps=5):
+def loop_time(run, n1, n2, reps=5):
     run(n1)
     run(n2)
     best = float("inf")
@@ -48,37 +57,85 @@ def loop_time(run, n1=64, n2=1024, reps=5):
     return best
 
 
+def device_gallery(cap: int, n_ids: int, d: int = 512):
+    """Normalized f32 gallery with zeroed padding rows, built on device."""
+    from facerecognition_infrenceengine_tpu.ops.matching import l2_normalize
+
+    @jax.jit
+    def build():
+        g = jax.random.normal(jax.random.PRNGKey(0), (cap, d), jnp.float32)
+        g = l2_normalize(g)
+        return jnp.where((jnp.arange(cap) < n_ids)[:, None], g, 0.0)
+
+    return build()
+
+
+def quantize_on_device(g):
+    scale = float(jnp.max(jnp.abs(g))) / 127.0
+    q = jnp.clip(jnp.rint(g / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def main():
+    from facerecognition_infrenceengine_tpu.ops import match_pallas
     from facerecognition_infrenceengine_tpu.ops.matching import (
         cosine_topk, l2_normalize)
 
     n_q = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     rng = np.random.default_rng(0)
-    q_host = rng.normal(size=(n_q, 512)).astype(np.float32)
+    q32 = l2_normalize(jnp.asarray(rng.normal(size=(n_q, 512)).astype(np.float32)))
+    on_tpu = jax.default_backend() == "tpu"
 
-    print(f"device={jax.devices()[0]}, queries={n_q}, top-k=1")
+    print(f"device={jax.devices()[0]}, queries={n_q}, top-1")
+    print(f"{'gallery':>11} {'dtype':>9} {'impl':>7} {'us/batch':>10} "
+          f"{'matches/s':>12} {'GB/s':>6}")
     for n_ids in (10_000, 100_000, 1_000_000):
-        gal = l2_normalize(jnp.asarray(
-            rng.normal(size=(n_ids, 512)).astype(np.float32)))
-        q = l2_normalize(jnp.asarray(q_host))
-        valid = jnp.ones((n_ids,), bool)
+        cap = 1 << (n_ids - 1).bit_length()
+        g32 = device_gallery(cap, n_ids)
+        valid = jnp.arange(cap) < n_ids
+        n1, n2 = (64, 512) if n_ids <= 100_000 else (8, 64)
 
-        def loop(q0, g, v, n):
-            def body(i, acc):
-                vals, idx = cosine_topk(
-                    q0 + i.astype(jnp.float32) * 1e-6, g, v, k=1)
-                return acc + vals.sum() + idx.sum().astype(jnp.float32)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        def bench(fn_body, arrays, tag, dtype_name, nbytes):
+            # Arrays are jit ARGUMENTS, never closure constants — a
+            # captured gallery would be embedded in the HLO and shipped
+            # to the tunnel's remote compiler wholesale.
+            loop = jax.jit(lambda q0, n, *arrs: jax.lax.fori_loop(
+                0, n,
+                lambda i, acc: acc + fn_body(
+                    q0 + (i % 7).astype(jnp.float32) * 1e-3, *arrs),
+                jnp.float32(0.0)))
 
-        fn = jax.jit(loop)
+            def run(n):
+                return float(loop(q32, jnp.int32(n), *arrays))
 
-        def run(n):
-            return float(fn(q, gal, valid, jnp.int32(n)))
+            s = loop_time(run, n1, n2)
+            print(f"{n_ids:>11,} {dtype_name:>9} {tag:>7} {s*1e6:>10.1f} "
+                  f"{n_q/s:>12,.0f} {nbytes/s/1e9:>6.0f}")
 
-        s = loop_time(run)
-        print(f"  gallery {n_ids:>9,}: {s*1e6:8.1f} us/batch  "
-              f"{n_q/s:12,.0f} matches/s  "
-              f"{n_ids*n_q/s/1e12:6.2f} TFLOP-equiv/s x2")
+        def xla_body(q0, g, v):
+            vals, idx = cosine_topk(q0.astype(g.dtype), g, v, k=1)
+            return vals.sum() + idx.sum().astype(jnp.float32)
+
+        def pl_body(q0, g):
+            vals, idx = match_pallas.gallery_top1(q0.astype(g.dtype), g,
+                                                  n_ids)
+            return vals.sum() + idx.sum().astype(jnp.float32)
+
+        def i8_body(q0, gq, gscale):
+            vals, idx = match_pallas.gallery_top1_int8(q0, gq, gscale, n_ids)
+            return vals.sum() + idx.sum().astype(jnp.float32)
+
+        for dtype in (jnp.float32, jnp.bfloat16):
+            g = g32.astype(dtype)
+            nbytes = cap * 512 * g.dtype.itemsize
+            bench(xla_body, (g, valid), "xla", g.dtype.name, nbytes)
+            if on_tpu:
+                bench(pl_body, (g,), "pallas", g.dtype.name, nbytes)
+
+        if on_tpu:
+            gq, gscale = quantize_on_device(g32)
+            bench(i8_body, (gq, jnp.float32(gscale)), "pallas", "int8",
+                  cap * 512)
 
 
 if __name__ == "__main__":

@@ -98,11 +98,16 @@ class EngineConfig:
     # Gallery capacity per shard bucket (static shapes; grows by doubling).
     gallery_block: int = 1024
     embed_dim: int = 512
-    # Gallery matrix dtype on device.  float32 keeps scores within the 1e-3
-    # reference-parity budget; bfloat16 halves device MEMORY per identity
-    # (1M IDs: 1 GB vs 2 GB) at ~3e-3 cosine error.  Measured on v5e it is
-    # NOT faster (1M-ID batch-64 match: f32 1.9 ms, bf16 2.4 ms) — opt in
-    # only for gallery capacity, never for speed or score fidelity.
+    # Gallery matrix dtype on device: "float32" | "bfloat16" | "int8".
+    # float32 keeps scores bit-exact with the reference's np.dot decisions
+    # (the parity default).  The k=1 TPU match runs ops/match_pallas's
+    # fused single-pass kernel, which is HBM-bandwidth-bound on the gallery
+    # bytes alone — so smaller dtypes now genuinely pay (v5e, 1M IDs,
+    # batch 64): f32 2.6 ms, bf16 1.33 ms (~3e-3 cosine err), int8 0.72 ms
+    # (~1.6e-3 score err, global-scale symmetric quantization;
+    # near-tie top-1 decisions can flip — opt-in for scale, not parity).
+    # (The earlier "bf16 NOT faster" observation was an XLA-path artifact:
+    # its f32 [B, N] score tensor traffic hid the gallery saving.)
     gallery_dtype: str = "float32"
 
 

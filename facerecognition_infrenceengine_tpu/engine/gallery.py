@@ -65,31 +65,63 @@ class _CompanySnapshot:
             padded[:n] = matrix
         valid = np.zeros(cap, bool)
         valid[:n] = True
-        # bfloat16 halves the HBM traffic of the bandwidth-bound match
-        # matmul (EngineConfig.gallery_dtype; accuracy tradeoff documented
-        # there); scores always accumulate in f32.
-        self.device_matrix = jnp.asarray(
-            padded, jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+        # bfloat16 halves / int8 quarters the HBM traffic of the
+        # bandwidth-bound match (EngineConfig.gallery_dtype; accuracy
+        # tradeoffs documented there).  int8 uses ops/match_pallas's
+        # global-scale quantization; its fused kernel is TPU-only, so the
+        # XLA fallback dequantizes (CPU tests, k>1).
+        self.dtype = dtype
+        self.int8_scale = None
+        if dtype == "int8":
+            from ..ops.match_pallas import quantize_gallery
+
+            q, self.int8_scale = quantize_gallery(padded)
+            self.device_matrix = jnp.asarray(q)
+        else:
+            self.device_matrix = jnp.asarray(
+                padded, jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
         self.device_valid = jnp.asarray(valid)
         self.size = n
+
+    def _dense_matrix(self):
+        """float view for the XLA/distributed paths (dequantizes int8)."""
+        import jax.numpy as jnp
+
+        if self.dtype != "int8":
+            return self.device_matrix
+        return self.device_matrix.astype(jnp.float32) * self.int8_scale
 
     def match(self, query_embeddings: np.ndarray, k: int = 1, mesh=None):
         """[B, D] normalized queries -> (scores [B, k], ids [B, k] of str|None)."""
         import jax.numpy as jnp
 
+        from ..ops import match_pallas
         from ..ops.matching import cosine_topk
         from ..parallel.topk import distributed_topk
 
         if self.size == 0 or len(query_embeddings) == 0:
             b = len(query_embeddings)
             return np.full((b, k), -1.0, np.float32), [[None] * k for _ in range(b)]
-        q = jnp.asarray(np.asarray(query_embeddings, np.float32)).astype(
-            self.device_matrix.dtype)  # match gallery dtype; accum stays f32
+        q32 = jnp.asarray(np.asarray(query_embeddings, np.float32))
         if mesh is not None:
-            vals, idx = distributed_topk(q, self.device_matrix, self.device_valid,
-                                         mesh, k=k)
+            vals, idx = distributed_topk(
+                q32.astype(self._dense_matrix().dtype), self._dense_matrix(),
+                self.device_valid, mesh, k=k)
+        elif match_pallas.supported(len(query_embeddings),
+                                    self.device_matrix, k):
+            # Fused single-pass kernel: gallery bytes are the only HBM
+            # traffic (no [B, N] score tensor, no top-k pass).
+            if self.dtype == "int8":
+                v1, i1 = match_pallas.gallery_top1_int8(
+                    q32, self.device_matrix, self.int8_scale, self.size)
+            else:
+                v1, i1 = match_pallas.gallery_top1(
+                    q32, self.device_matrix, self.size)
+            vals, idx = v1[:, None], i1[:, None]
         else:
-            vals, idx = cosine_topk(q, self.device_matrix, self.device_valid, k=k)
+            vals, idx = cosine_topk(q32.astype(self._dense_matrix().dtype),
+                                    self._dense_matrix(),
+                                    self.device_valid, k=k)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         ids = [[self.ids[j] if 0 <= j < self.size and vals[b, i] > -np.inf else None

@@ -248,3 +248,25 @@ def test_bf16_gallery_matches_same_ids(world):
     s16, ids16, _ = bf16.match(probe, company_id=cid)
     assert ids16 == ids32
     np.testing.assert_allclose(s16, s32, atol=5e-3)
+
+
+def test_int8_gallery_matches_same_ids(world):
+    """Opt-in int8 gallery (global-scale quantization) returns the same
+    top-1 ids via the XLA dequantize fallback on CPU; the fused TPU kernel
+    is covered by tests/test_match_pallas.py."""
+    import dataclasses
+
+    cfg, ds, client, cid, worker = world
+    for emp, seed in (("E1", 42), ("E2", 43)):
+        register(client, cid, emp, person_seed=seed)
+    worker.process_available_jobs()
+
+    f32 = GalleryManager(ds, cfg)
+    cfg_i8 = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, gallery_dtype="int8"))
+    i8 = GalleryManager(ds, cfg_i8)
+    probe = np.stack([fake_embedding(42, 0.05), fake_embedding(43, 0.01)])
+    s32, ids32, _ = f32.match(probe, company_id=cid)
+    si8, idsi8, _ = i8.match(probe, company_id=cid)
+    assert idsi8 == ids32
+    np.testing.assert_allclose(si8, s32, atol=1e-2)
