@@ -109,6 +109,14 @@ class EngineConfig:
     # (The earlier "bf16 NOT faster" observation was an XLA-path artifact:
     # its f32 [B, N] score tensor traffic hid the gallery saving.)
     gallery_dtype: str = "float32"
+    # Evaluate the SCRFD backbone stem in space-to-depth packed layout
+    # (models/packed_stem.py).  Measured on v5e B=8 640x640 bf16: packed
+    # 2.94 ms vs XLA's own lowering of the unpacked stem 2.56 ms — XLA
+    # already handles the low-channel stem well, and the packed form's 4x
+    # nominal MACs are NOT fully hidden by lane padding.  Kept as an
+    # opt-in documented experiment (exactness pinned by
+    # tests/test_packed_stem.py); default off because it loses in situ.
+    packed_stem: bool = False
 
 
 @dataclass

@@ -91,6 +91,18 @@ class FaceEngine:
                 f"arcface_{rec_arch}", self.embedder,
                 jnp.zeros((1, self.cfg.embed_size, self.cfg.embed_size, 3), jnp.float32), seed + 1
             )
+        if (self.cfg.packed_stem and "packed_stem" not in det_variables
+                and "batch_stats" in det_variables):
+            # Opt-in (EngineConfig.packed_stem — measured slower in situ,
+            # see core/config.py): space-to-depth stem kernels with BN
+            # folded in (models/packed_stem.py), precomputed once and
+            # carried as an extra collection so every jitted program sees
+            # them as ordinary inputs.
+            from ..models import packed_stem
+
+            det_variables = dict(det_variables)
+            det_variables["packed_stem"] = packed_stem.precompute_packed_stem(
+                det_variables, self.detector.dtype)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
         self._centers = all_anchor_centers(h, w)
@@ -108,7 +120,20 @@ class FaceEngine:
     def _detect_impl(self, det_variables, frames_u8, det_threshold):
         cfg = self.cfg
         x = scrfd.preprocess(frames_u8)
-        logits, bbox, kps = self.detector.apply(det_variables, x)
+        stem_out = None
+        h, w = int(frames_u8.shape[1]), int(frames_u8.shape[2])
+        if h % 4 == 0 and w % 4 == 0 and "packed_stem" in det_variables:
+            # Evaluate the backbone stem in space-to-depth layout — same
+            # weights, ~2x faster on TPU (models/packed_stem.py).  The
+            # packed BN-folded kernels were derived once from the loaded
+            # weights in __init__ and ride along in det_variables.
+            from ..models import packed_stem
+
+            stem_out = packed_stem.packed_stem_forward(
+                x, det_variables["packed_stem"],
+                self.detector.cfg.stem_width, self.detector.dtype)
+        logits, bbox, kps = self.detector.apply(det_variables, x,
+                                                stem_out=stem_out)
         scores = jax.nn.sigmoid(logits[..., 0])  # [B, A]
         bbox = bbox * self._strides[None, :, None]
         kps = kps * self._strides[None, :, None]

@@ -121,15 +121,22 @@ class ResNetV1e(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stem_out=None):
         c = self.cfg
-        x = ConvBN(c.stem_width, 3, 2, act=nn.relu, dtype=self.dtype,
-                   name="stem1")(x, train)
-        x = ConvBN(c.stem_width, 3, 1, act=nn.relu, dtype=self.dtype,
-                   name="stem2")(x, train)
-        x = ConvBN(2 * c.stem_width, 3, 1, act=nn.relu, dtype=self.dtype,
-                   name="stem3")(x, train)
-        x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+        if stem_out is not None:
+            # Precomputed stem activation (models/packed_stem.py evaluates
+            # the same stem weights in space-to-depth layout — ~2x faster
+            # on TPU).  Params below are declared at init (stem_out=None)
+            # and simply unused on this path.
+            x = stem_out
+        else:
+            x = ConvBN(c.stem_width, 3, 2, act=nn.relu, dtype=self.dtype,
+                       name="stem1")(x, train)
+            x = ConvBN(c.stem_width, 3, 1, act=nn.relu, dtype=self.dtype,
+                       name="stem2")(x, train)
+            x = ConvBN(2 * c.stem_width, 3, 1, act=nn.relu, dtype=self.dtype,
+                       name="stem3")(x, train)
+            x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
         feats = []
         for i, (blocks, planes) in enumerate(zip(c.stage_blocks, c.stage_planes)):
             for j in range(blocks):
@@ -205,17 +212,21 @@ class SCRFD(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stem_out=None):
         """x: [B, H, W, 3] scaled to [-1, 1] (insightface det convention is
         (x - 127.5) / 128; the 0.4% scale delta is absorbed by BN when
         converting weights, we use 127.5 throughout).
+
+        ``stem_out`` optionally injects a precomputed backbone stem
+        activation (the packed space-to-depth stem, models/packed_stem.py).
 
         Returns (scores [B, A, 1] logits, bbox [B, A, 4] stride units,
         kps [B, A, 10] stride units), A = sum over strides of H/s*W/s*2,
         rows ordered (stride asc, y, x, anchor) to match ops.anchors.
         """
         x = x.astype(self.dtype)
-        feats = ResNetV1e(self.cfg, dtype=self.dtype, name="backbone")(x, train)
+        feats = ResNetV1e(self.cfg, dtype=self.dtype, name="backbone")(
+            x, train, stem_out=stem_out)
         feats = PAFPN(self.cfg.neck_width, dtype=self.dtype, name="neck")(feats, train)
         head = SCRFDHead(self.cfg.head_width, self.cfg.head_depth,
                          dtype=self.dtype, name="head")
