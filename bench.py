@@ -196,6 +196,25 @@ def main():
     else:
         gallery_qps_1m_int8 = None
 
+    # Sustained streaming through the REAL serving path (camera threads ->
+    # MicroBatcher -> fused program, host<->device transfers included) so
+    # the production path has a tracked regression signal, not just the
+    # device-only loop.  Short window; warm shapes come from .jax_cache.
+    streaming = None
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("BENCH_STREAMING", "1") != "0"):
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+            import streaming as _streaming_mod
+
+            streaming = _streaming_mod.run(
+                n_cameras=int(os.environ.get("BENCH_STREAM_CAMS", "4")),
+                duration=float(os.environ.get("BENCH_STREAM_SECS", "5")),
+                quiet=True)
+        except Exception as exc:  # never fail the headline metric on this
+            streaming = {"error": str(exc)[:200]}
+
     result = {
         "metric": "faces_per_sec_per_chip",
         "value": round(faces_per_sec, 1),
@@ -209,6 +228,7 @@ def main():
             "gallery_qps_100k": round(gallery_qps, 1),
             "gallery_qps_1m_f32": round(n_q / max(g1m_s, 1e-9), 1),
             "gallery_qps_1m_int8": gallery_qps_1m_int8,
+            "streaming": streaming,
             "device": str(jax.devices()[0]),
             "commit": _git_commit(),
         },

@@ -36,19 +36,27 @@ except Exception:
 
 
 
-def main():
+def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
+        app=None, quiet: bool = False) -> dict:
+    """Sustained N-camera streaming measurement through the production
+    path (threads -> MicroBatcher -> fused program).  Returns a dict of
+    {fps_in, fps_processed, dropped, p50_ms, p90_ms, p99_ms, ...} so
+    bench.py can track it as a regression signal (an ``app`` may be
+    passed to reuse an already-prepared FaceAnalysis)."""
     from facerecognition_infrenceengine_tpu.core.config import EngineConfig
     from facerecognition_infrenceengine_tpu.engine.microbatch import MicroBatcher
     from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
 
-    n_cameras = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    duration = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
-    fps = 30.0
+    def say(*a):
+        if not quiet:
+            print(*a, flush=True)
 
-    cfg = EngineConfig(det_size=(640, 640), max_faces=16, pre_nms_topk=256,
-                       dtype="bfloat16", microbatch_max=max(16, n_cameras))
-    app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
-    app.prepare(ctx_id=0, det_thresh=0.3)
+    if app is None:
+        cfg = EngineConfig(det_size=(640, 640), max_faces=16, pre_nms_topk=256,
+                           dtype="bfloat16", microbatch_max=max(16, n_cameras))
+        app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
+        app.prepare(ctx_id=0, det_thresh=0.3)
+    cfg = app.cfg
 
     rng = np.random.default_rng(0)
     # unique per-camera frames at camera resolution (the facade letterboxes)
@@ -66,8 +74,7 @@ def main():
     for size in sizes:
         t0 = time.perf_counter()
         app.get_batch([base_frames[i % n_cameras] for i in range(size)])
-        print(f"  warm batch {size}: {time.perf_counter() - t0:.1f}s",
-              flush=True)
+        say(f"  warm batch {size}: {time.perf_counter() - t0:.1f}s")
 
     batcher = MicroBatcher(app, cfg)
     batcher.start()
@@ -120,20 +127,39 @@ def main():
     n_done = len(lats)
     p = lambda q: lats[min(n_done - 1, int(q * n_done))] * 1000 if n_done else 0
     total_submitted = sum(submitted)
-    print(f"cameras={n_cameras} @ {fps:.0f} fps nominal, {wall:.1f}s wall")
-    print(f"  submitted {total_submitted} frames "
-          f"({total_submitted / wall:.1f}/s), processed {n_done} "
-          f"({n_done / wall:.1f}/s), dropped {batcher.stats['dropped']} "
-          f"(backpressure)")
-    print(f"  dispatches {batcher.stats['dispatches']} "
-          f"(avg batch {batcher.stats['frames'] / max(1, batcher.stats['dispatches']):.1f})")
-    print(f"  processed-frame latency p50 {p(0.5):.1f} ms  "
-          f"p90 {p(0.9):.1f} ms  p99 {p(0.99):.1f} ms")
+    say(f"cameras={n_cameras} @ {fps:.0f} fps nominal, {wall:.1f}s wall")
+    say(f"  submitted {total_submitted} frames "
+        f"({total_submitted / wall:.1f}/s), processed {n_done} "
+        f"({n_done / wall:.1f}/s), dropped {batcher.stats['dropped']} "
+        f"(backpressure)")
+    say(f"  dispatches {batcher.stats['dispatches']} "
+        f"(avg batch {batcher.stats['frames'] / max(1, batcher.stats['dispatches']):.1f})")
+    say(f"  processed-frame latency p50 {p(0.5):.1f} ms  "
+        f"p90 {p(0.9):.1f} ms  p99 {p(0.99):.1f} ms")
     mbps = (batcher.stats["frames"] * 640 * 640 * 3) / wall / 1e6
-    print(f"  note: host->device pixel traffic ~{mbps:.0f} MB/s; on a "
-          f"tunneled link (~20 MB/s here) dispatch is transfer-bound — "
-          f"PCIe-attached chips lift this ~1000x (see bench.py for the "
-          f"device-side ceiling)")
+    say(f"  note: host->device pixel traffic ~{mbps:.0f} MB/s; on a "
+        f"tunneled link (~20 MB/s here) dispatch is transfer-bound — "
+        f"PCIe-attached chips lift this ~1000x (see bench.py for the "
+        f"device-side ceiling)")
+    return {
+        "cameras": n_cameras,
+        "duration_s": round(wall, 1),
+        "fps_submitted": round(total_submitted / wall, 1),
+        "fps_processed": round(n_done / wall, 1),
+        "dropped": int(batcher.stats["dropped"]),
+        "avg_batch": round(batcher.stats["frames"]
+                           / max(1, batcher.stats["dispatches"]), 1),
+        "p50_ms": round(p(0.5), 1),
+        "p90_ms": round(p(0.9), 1),
+        "p99_ms": round(p(0.99), 1),
+        "host_mbps": round(mbps, 1),
+    }
+
+
+def main():
+    n_cameras = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    duration = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
+    run(n_cameras, duration)
 
 
 if __name__ == "__main__":

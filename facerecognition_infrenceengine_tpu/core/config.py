@@ -110,13 +110,26 @@ class EngineConfig:
     # its f32 [B, N] score tensor traffic hid the gallery saving.)
     gallery_dtype: str = "float32"
     # Evaluate the SCRFD backbone stem in space-to-depth packed layout
-    # (models/packed_stem.py).  Measured on v5e B=8 640x640 bf16: packed
-    # 2.94 ms vs XLA's own lowering of the unpacked stem 2.56 ms — XLA
-    # already handles the low-channel stem well, and the packed form's 4x
-    # nominal MACs are NOT fully hidden by lane padding.  Kept as an
+    # via XLA (models/packed_stem.py).  Measured on v5e B=8 640x640 bf16:
+    # packed 2.94 ms vs XLA's own lowering of the unpacked stem 2.56 ms —
+    # XLA already handles the low-channel stem well, and the packed form's
+    # 4x nominal MACs are NOT fully hidden by lane padding.  Kept as an
     # opt-in documented experiment (exactness pinned by
     # tests/test_packed_stem.py); default off because it loses in situ.
     packed_stem: bool = False
+    # Fused Pallas stem kernel (ops/stem_pallas.py): the whole SCRFD stem
+    # (3 convs + max-pool) in one VMEM-resident kernel.  Isolated (v5e,
+    # B=8 640x640): XLA stem 3.09 ms, kernel 2.65 ms from raw frames
+    # (~1.1 ms of that is the on-device u8 space-to-depth transpose —
+    # XLA is poor at byte-granular transposes), 1.55 ms from host-packed
+    # s2d4 frames (pad_packed_u8).  In situ, however, a same-process A/B
+    # of the full detect program measured the kernel path ~1.1 ms SLOWER
+    # (7.5-7.9 vs 6.4-6.8 ms) — in context XLA fuses/lays out the stem
+    # better than isolated probes suggest, and only the host-packed
+    # variant beats it, which the fused pipeline cannot use because the
+    # warp atlas needs raw-layout pixels.  Default off; "on" exists for
+    # packed-input detect-only deployments and for re-measurement.
+    stem_kernel: str = "off"  # "auto" (TPU only) | "on" | "off"
 
 
 @dataclass

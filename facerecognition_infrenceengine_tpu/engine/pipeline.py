@@ -103,6 +103,19 @@ class FaceEngine:
             det_variables = dict(det_variables)
             det_variables["packed_stem"] = packed_stem.precompute_packed_stem(
                 det_variables, self.detector.dtype)
+        use_stem_kernel = (self.cfg.stem_kernel == "on"
+                           or (self.cfg.stem_kernel == "auto"
+                               and jax.default_backend() == "tpu"))
+        if (use_stem_kernel and "stem_pallas" not in det_variables
+                and "batch_stats" in det_variables):
+            # Fused Pallas stem (ops/stem_pallas.py) — BN-folded packed
+            # kernels precomputed once, carried as an extra collection so
+            # every jitted program sees them as ordinary inputs.
+            from ..ops import stem_pallas
+
+            det_variables = dict(det_variables)
+            det_variables["stem_pallas"] = stem_pallas.precompute_fused_stem(
+                det_variables, self.detector.dtype)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
         self._centers = all_anchor_centers(h, w)
@@ -122,7 +135,19 @@ class FaceEngine:
         x = scrfd.preprocess(frames_u8)
         stem_out = None
         h, w = int(frames_u8.shape[1]), int(frames_u8.shape[2])
-        if h % 4 == 0 and w % 4 == 0 and "packed_stem" in det_variables:
+        if ("stem_pallas" in det_variables and h % 4 == 0 and w % 4 == 0
+                and ((h // 4) % 16 == 0 or h // 4 <= 64)):
+            # Fused Pallas stem kernel (ops/stem_pallas.py).  NB: wins
+            # isolated but measured ~1.1 ms slower in situ from raw
+            # frames (see the module docstring) — off by default, kept
+            # for packed-input deployments and re-measurement.
+            from ..ops import stem_pallas
+
+            x4 = stem_pallas.prepare_input(frames_u8, dtype=jnp.uint8)
+            stem_out = stem_pallas.fused_stem(
+                x4, det_variables["stem_pallas"], w // 4,
+                self.detector.cfg.stem_width)
+        elif h % 4 == 0 and w % 4 == 0 and "packed_stem" in det_variables:
             # Evaluate the backbone stem in space-to-depth layout — same
             # weights, ~2x faster on TPU (models/packed_stem.py).  The
             # packed BN-folded kernels were derived once from the loaded
