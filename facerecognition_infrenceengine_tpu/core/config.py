@@ -130,6 +130,11 @@ class EngineConfig:
     # warp atlas needs raw-layout pixels.  Default off; "on" exists for
     # packed-input detect-only deployments and for re-measurement.
     stem_kernel: str = "off"  # "auto" (TPU only) | "on" | "off"
+    # int8 PTQ embedder (models/quant.py): opt-in scale mode like the
+    # int8 gallery — int8 convs measure ~1.35x bf16 on v5e in dependent
+    # chains; embeddings stay within ~0.99 cosine of the float path on
+    # calibration-covered inputs.  NOT the parity path (default off).
+    embed_int8: bool = False
 
 
 @dataclass

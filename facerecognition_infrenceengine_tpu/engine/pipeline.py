@@ -118,6 +118,24 @@ class FaceEngine:
                 det_variables, self.detector.dtype)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
+        self._embed_q = None
+        if self.cfg.embed_int8 and rec_arch in ("r50", "r18"):
+            # int8 PTQ embedder (models/quant.py): per-channel int8 conv
+            # weights + per-layer activation scales calibrated once here
+            # from deterministic synthetic crops (re-calibrates the same
+            # way when real converted weights are loaded).
+            from ..models import quant
+
+            self._quant_depths = (3, 4, 14, 3) if rec_arch == "r50" else (2, 2, 2, 2)
+            rng = np.random.default_rng(1234)
+            calib = arcface.preprocess(jnp.asarray(rng.integers(
+                0, 255, (8, self.cfg.embed_size, self.cfg.embed_size, 3),
+                dtype=np.uint8)))
+            scales = quant.calibrate(rec_variables, calib,
+                                     depths=self._quant_depths, dtype=dtype)
+            qw = quant.quantize_weights(rec_variables,
+                                        depths=self._quant_depths)
+            self._embed_q = (qw, scales)
         self._centers = all_anchor_centers(h, w)
         self._strides = jnp.asarray(_stride_rows(h, w))
         self._dst = jnp.asarray(ARCFACE_DST) * (self.cfg.embed_size / 112.0)
@@ -182,8 +200,18 @@ class FaceEngine:
         # Two-pass matmul warp: ~300x faster than the gather formulation on
         # TPU (see ops/warp2pass.py docstring).
         crops = warp_faces_two_pass(frames_u8, frame_idx, kps, size, dst=self._dst)
-        emb = self.embedder.apply(rec_variables, arcface.preprocess(crops))
+        emb = self._apply_embedder(rec_variables, arcface.preprocess(crops))
         return l2_normalize(emb)
+
+    def _apply_embedder(self, rec_variables, x):
+        if self._embed_q is not None:
+            from ..models import quant
+
+            qw, scales = self._embed_q
+            return quant.apply_int8(rec_variables, qw, scales, x,
+                                    depths=self._quant_depths,
+                                    dtype=self.embedder.dtype)
+        return self.embedder.apply(rec_variables, x)
 
     def embed_crops(self, crops_u8) -> np.ndarray:
         """Embed pre-aligned 112x112 crops (host-warped path); [M,112,112,3]."""
@@ -197,7 +225,7 @@ class FaceEngine:
         return np.asarray(emb)[:m]
 
     def _embed_crops_impl(self, rec_variables, crops):
-        emb = self.embedder.apply(rec_variables, arcface.preprocess(crops))
+        emb = self._apply_embedder(rec_variables, arcface.preprocess(crops))
         return l2_normalize(emb)
 
     def _ensure_attr_variables(self):

@@ -1,0 +1,69 @@
+"""int8 PTQ embedder (models/quant.py): the functional float twin must
+match models/arcface.IResNet exactly (structure-drift guard), and the
+int8 forward must stay within a small cosine divergence of it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facerecognition_infrenceengine_tpu.models import arcface, quant
+from facerecognition_infrenceengine_tpu.ops.matching import l2_normalize
+
+DEPTHS18 = (2, 2, 2, 2)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    m = arcface.iresnet18(dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
+    return m, v
+
+
+def _crops(n, seed=1):
+    rng = np.random.default_rng(seed)
+    u8 = rng.integers(0, 255, (n, 112, 112, 3), dtype=np.uint8)
+    return arcface.preprocess(jnp.asarray(u8))
+
+
+def test_float_twin_matches_flax(model_and_vars):
+    m, v = model_and_vars
+    x = _crops(3)
+    ref = m.apply(v, x)
+    got = quant.apply_float(v, x, depths=DEPTHS18, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int8_close_to_float(model_and_vars):
+    m, v = model_and_vars
+    calib = _crops(4, seed=2)
+    scales = quant.calibrate(v, calib, depths=DEPTHS18, dtype=jnp.float32)
+    qw = quant.quantize_weights(v, depths=DEPTHS18)
+    assert set(scales) == set(qw)
+
+    x = _crops(6, seed=3)
+    ref = l2_normalize(m.apply(v, x))
+    got = l2_normalize(quant.apply_int8(v, qw, scales, x, depths=DEPTHS18,
+                                        dtype=jnp.float32))
+    cos = jnp.sum(ref * got, axis=1)
+    assert float(jnp.min(cos)) > 0.98, np.asarray(cos)
+
+
+def test_engine_embed_int8_flag():
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.engine import FaceEngine
+
+    rng = np.random.default_rng(4)
+    crops = rng.integers(0, 255, (4, 112, 112, 3), dtype=np.uint8)
+    cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                       dtype="float32", embed_int8=True)
+    e = FaceEngine(cfg, det_arch="det_500m", rec_arch="r18", seed=3)
+    emb_q = e.embed_crops(crops)
+    cfg0 = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                        dtype="float32")
+    e0 = FaceEngine(cfg0, det_arch="det_500m", rec_arch="r18", seed=3)
+    emb = e0.embed_crops(crops)
+    cos = np.sum(emb * emb_q, axis=1) / (
+        np.linalg.norm(emb, axis=1) * np.linalg.norm(emb_q, axis=1) + 1e-9)
+    assert cos.min() > 0.98, cos
