@@ -140,8 +140,24 @@ def main():
 
     # Latency: device time for one B=1 fused dispatch (p50 path, no queueing).
     frames1 = frames[:1]
-    lat_s = device_loop_time(fused_loop_runner(engine, frames1), n1=4, n2=20)
+    lat_s = device_loop_time(fused_loop_runner(engine, frames1), n1=8, n2=48,
+                             reps=5)
     frame_ms = lat_s * 1000.0
+
+    # Opt-in int8-embedder scale mode (EngineConfig.embed_int8,
+    # models/quant.py): same fused program with the PTQ int8 IResNet —
+    # ~0.995 cosine vs bf16, not the parity path, reported as an extra.
+    faces_per_sec_int8 = None
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            import dataclasses
+
+            engine_q = FaceEngine(dataclasses.replace(cfg, embed_int8=True),
+                                  det_arch="det_10g", rec_arch="r50", seed=0)
+            it8_s = device_loop_time(fused_loop_runner(engine_q, frames))
+            faces_per_sec_int8 = round(batch * max_faces / it8_s, 1)
+        except Exception:
+            faces_per_sec_int8 = None
 
     # Gallery QPS: 64 queries vs a 100k-identity gallery, top-1.  The match
     # is microseconds per iteration, so the loop counts are large enough for
@@ -225,6 +241,7 @@ def main():
             "max_faces": max_faces,
             "fused_iter_ms": round(it_s * 1000.0, 3),
             "frame_latency_b1_ms": round(frame_ms, 3),
+            "faces_per_sec_int8_embed_mode": faces_per_sec_int8,
             "gallery_qps_100k": round(gallery_qps, 1),
             "gallery_qps_1m_f32": round(n_q / max(g1m_s, 1e-9), 1),
             "gallery_qps_1m_int8": gallery_qps_1m_int8,

@@ -131,10 +131,19 @@ class EngineConfig:
     # packed-input detect-only deployments and for re-measurement.
     stem_kernel: str = "off"  # "auto" (TPU only) | "on" | "off"
     # int8 PTQ embedder (models/quant.py): opt-in scale mode like the
-    # int8 gallery — int8 convs measure ~1.35x bf16 on v5e in dependent
-    # chains; embeddings stay within ~0.99 cosine of the float path on
-    # calibration-covered inputs.  NOT the parity path (default off).
+    # int8 gallery — measured 1.71x embed throughput on v5e (10.16 ->
+    # 5.96 ms per 128 crops) at >=0.995 cosine vs bf16.  NOT the parity
+    # path (default off).
     embed_int8: bool = False
+    # int8 PTQ detector backbone (models/quant.scrfd_backbone_forward):
+    # same scheme for the SCRFD ResNetV1e (neck/head stay float).
+    # MEASURED SLOWER on v5e: detect+nms 9.88 ms int8 vs 6.81 ms bf16 at
+    # B=8 — on the detector's large thin-channel maps the per-layer
+    # quantize/dequantize VPU chains outweigh the int8 MXU gain, and the
+    # functional twin loses XLA's fused ConvBN lowering (the embedder
+    # wins 1.71x because its FLOPs/byte is ~5x higher).  Kept opt-in as
+    # a documented negative result; default off.
+    det_int8: bool = False
 
 
 @dataclass

@@ -136,6 +136,21 @@ class FaceEngine:
             qw = quant.quantize_weights(rec_variables,
                                         depths=self._quant_depths)
             self._embed_q = (qw, scales)
+        self._det_q = None
+        if self.cfg.det_int8 and "batch_stats" in det_variables:
+            # int8 PTQ detector backbone (models/quant.py) — same
+            # calibrate-at-build scheme as the embedder.
+            from ..models import quant
+
+            rngd = np.random.default_rng(4321)
+            calib_frames = jnp.asarray(rngd.integers(
+                0, 255, (4, h, w, 3), dtype=np.uint8))
+            calib_x = scrfd.preprocess(calib_frames)
+            dscales = quant.calibrate_scrfd(det_variables, calib_x,
+                                            self.detector.cfg, dtype=dtype)
+            dqw = quant.quantize_scrfd_weights(det_variables,
+                                               self.detector.cfg)
+            self._det_q = (dqw, dscales)
         self._centers = all_anchor_centers(h, w)
         self._strides = jnp.asarray(_stride_rows(h, w))
         self._dst = jnp.asarray(ARCFACE_DST) * (self.cfg.embed_size / 112.0)
@@ -175,8 +190,17 @@ class FaceEngine:
             stem_out = packed_stem.packed_stem_forward(
                 x, det_variables["packed_stem"],
                 self.detector.cfg.stem_width, self.detector.dtype)
+        feats_in = None
+        if self._det_q is not None:
+            from ..models import quant
+
+            dqw, dscales = self._det_q
+            feats_in = quant.scrfd_backbone_forward(
+                det_variables, x, self.detector.cfg, qw=dqw,
+                act_scales=dscales, dtype=self.detector.dtype)
         logits, bbox, kps = self.detector.apply(det_variables, x,
-                                                stem_out=stem_out)
+                                                stem_out=stem_out,
+                                                feats_in=feats_in)
         scores = jax.nn.sigmoid(logits[..., 0])  # [B, A]
         bbox = bbox * self._strides[None, :, None]
         kps = kps * self._strides[None, :, None]

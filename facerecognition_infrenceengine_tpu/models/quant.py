@@ -202,3 +202,125 @@ def apply_float(variables, x, depths: Sequence[int] = DEPTHS,
     """The same functional forward without quantization (golden twin used
     by tests to pin this file against models/arcface.IResNet)."""
     return _forward(variables, x, depths=depths, dtype=dtype)
+
+
+# --------------------------------------------------------------------------
+# SCRFD backbone (models/scrfd.ResNetV1e) int8 twin — same scheme.  The
+# neck/head stay float (~0.5 ms of the ~6.5 ms detect); the backbone is
+# both MXU- and bandwidth-heavy, and int8 halves activation bytes on the
+# lane-padded thin-channel tensors that dominate its HBM traffic.
+
+def _scrfd_names(cfg):
+    """(quant-point name, stride, kernel, is_stem/has_down info) in
+    execution order, mirroring scrfd.ResNetV1e.__call__."""
+    from .scrfd import block_has_downsample
+
+    names = [("stem1", 2, 3), ("stem2", 1, 3), ("stem3", 1, 3)]
+    for i, blocks in enumerate(cfg.stage_blocks):
+        for j in range(blocks):
+            stride = 2 if (i > 0 and j == 0) else 1
+            blk = f"layer{i + 1}_b{j}"
+            names.append((f"{blk}/conv1", stride, 3))
+            names.append((f"{blk}/conv2", 1, 3))
+            if block_has_downsample(cfg, i, j):
+                names.append((f"{blk}/downsample", 1, 1))
+    return names
+
+
+def quantize_scrfd_weights(variables, cfg):
+    """Per-output-channel int8 kernels for every backbone conv."""
+    bb = variables["params"]["backbone"]
+    out = {}
+    for name, _, _ in _scrfd_names(cfg):
+        w = _subtree(bb, name)["Conv_0"]["kernel"].astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
+        w8 = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+        out[name] = (w8, sw)
+    return out
+
+
+def _subtree(tree, path):
+    for part in path.split("/"):
+        tree = tree[part]
+    return tree
+
+
+def scrfd_backbone_forward(variables, x, cfg, qw=None, act_scales=None,
+                           dtype=jnp.bfloat16, collect=None):
+    """Functional twin of scrfd.ResNetV1e.__call__ (float or int8).
+
+    Returns the [C3, C4, C5] feature list the PAFPN consumes.  Pinned
+    against the flax backbone by tests/test_quant.py."""
+    import flax.linen as nn
+
+    from .scrfd import block_has_downsample
+
+    params = variables["params"]["backbone"]
+    stats = variables["batch_stats"]["backbone"]
+    f = jnp.float32
+
+    def convbn(name, xin, stride, ksize, act):
+        if collect is not None:
+            collect.append(jnp.max(jnp.abs(xin)))
+        p, s = _subtree(params, name), _subtree(stats, name)
+        pad = [(ksize // 2, ksize // 2)] * 2
+        if qw is None:
+            y = jax.lax.conv_general_dilated(
+                xin.astype(dtype), p["Conv_0"]["kernel"].astype(dtype),
+                (stride, stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=f)
+        else:
+            w8, sw = qw[name]
+            sa = act_scales[name]
+            x8 = jnp.clip(jnp.round(xin / sa), -127, 127).astype(jnp.int8)
+            y32 = jax.lax.conv_general_dilated(
+                x8, w8, (stride, stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = y32.astype(f) * (sa * sw)[None, None, None, :]
+        bp = {k: v.astype(f) for k, v in p["BatchNorm_0"].items()}
+        bs = {k: v.astype(f) for k, v in s["BatchNorm_0"].items()}
+        y = _bn(y, bp, bs)
+        return jnp.maximum(y, 0.0) if act else y
+
+    x = x.astype(f)
+    x = convbn("stem1", x, 2, 3, True)
+    x = convbn("stem2", x, 1, 3, True)
+    x = convbn("stem3", x, 1, 3, True)
+    x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+
+    feats = []
+    for i, (blocks, planes) in enumerate(zip(cfg.stage_blocks,
+                                             cfg.stage_planes)):
+        for j in range(blocks):
+            stride = 2 if (i > 0 and j == 0) else 1
+            blk = f"layer{i + 1}_b{j}"
+            out = convbn(f"{blk}/conv1", x, stride, 3, True)
+            out = convbn(f"{blk}/conv2", out, 1, 3, False)
+            if block_has_downsample(cfg, i, j):
+                sc = x
+                if stride != 1:
+                    sc = nn.avg_pool(sc, (stride, stride), (stride, stride))
+                sc = convbn(f"{blk}/downsample", sc, 1, 1, False)
+            else:
+                sc = x
+            x = jnp.maximum(out + sc, 0.0)
+        if i >= 1:
+            feats.append(x.astype(dtype))
+    return feats
+
+
+def calibrate_scrfd(variables, calib_x, cfg, dtype=jnp.bfloat16,
+                    margin: float = 1.0):
+    """Activation scales for the backbone quant points (one jitted pass)."""
+    def collect_maxes(v, x):
+        maxes = []
+        scrfd_backbone_forward(v, x, cfg, dtype=dtype, collect=maxes)
+        return jnp.stack(maxes)
+
+    maxes = np.asarray(jax.jit(collect_maxes)(variables, calib_x))
+    names = [n for n, _, _ in _scrfd_names(cfg)]
+    assert len(names) == len(maxes), (len(names), len(maxes))
+    return {n: float(max(m, 1e-6)) * (margin / 127.0)
+            for n, m in zip(names, maxes)}

@@ -212,13 +212,16 @@ class SCRFD(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, stem_out=None):
+    def __call__(self, x, train: bool = False, stem_out=None, feats_in=None):
         """x: [B, H, W, 3] scaled to [-1, 1] (insightface det convention is
         (x - 127.5) / 128; the 0.4% scale delta is absorbed by BN when
         converting weights, we use 127.5 throughout).
 
         ``stem_out`` optionally injects a precomputed backbone stem
-        activation (the packed space-to-depth stem, models/packed_stem.py).
+        activation (the packed space-to-depth stem, models/packed_stem.py);
+        ``feats_in`` injects the whole [C3, C4, C5] backbone output (the
+        int8 backbone twin, models/quant.scrfd_backbone_forward) — the
+        flax backbone params are declared either way and simply unused.
 
         Returns (scores [B, A, 1] logits, bbox [B, A, 4] stride units,
         kps [B, A, 10] stride units), A = sum over strides of H/s*W/s*2,
@@ -227,6 +230,8 @@ class SCRFD(nn.Module):
         x = x.astype(self.dtype)
         feats = ResNetV1e(self.cfg, dtype=self.dtype, name="backbone")(
             x, train, stem_out=stem_out)
+        if feats_in is not None:
+            feats = [f.astype(self.dtype) for f in feats_in]
         feats = PAFPN(self.cfg.neck_width, dtype=self.dtype, name="neck")(feats, train)
         head = SCRFDHead(self.cfg.head_width, self.cfg.head_depth,
                          dtype=self.dtype, name="head")

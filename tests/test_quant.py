@@ -67,3 +67,43 @@ def test_engine_embed_int8_flag():
     cos = np.sum(emb * emb_q, axis=1) / (
         np.linalg.norm(emb, axis=1) * np.linalg.norm(emb_q, axis=1) + 1e-9)
     assert cos.min() > 0.98, cos
+
+
+def test_scrfd_backbone_float_twin_matches_flax():
+    from facerecognition_infrenceengine_tpu.models import quant, scrfd
+
+    cfg = scrfd.CONFIGS["det_500m"]
+    m = scrfd.SCRFD(cfg, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    x = scrfd.preprocess(jnp.asarray(frames))
+
+    bb = scrfd.ResNetV1e(cfg, dtype=jnp.float32)
+    bvars = {"params": v["params"]["backbone"],
+             "batch_stats": v["batch_stats"]["backbone"]}
+    ref = bb.apply(bvars, x)
+    got = quant.scrfd_backbone_forward(v, x, cfg, dtype=jnp.float32)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_engine_det_int8_close_to_float():
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.engine import FaceEngine
+
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    dets = []
+    for q in (False, True):
+        cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                           dtype="float32", det_int8=q)
+        e = FaceEngine(cfg, det_arch="det_500m", rec_arch="r18", seed=3)
+        assert (e._det_q is not None) == q
+        dets.append(e.detect(frames))
+    # int8 backbone shifts scores slightly; with synthetic weights the
+    # sigmoid saturates, so valid masks and box geometry stay close.
+    np.testing.assert_array_equal(dets[1].valid, dets[0].valid)
+    np.testing.assert_allclose(dets[1].scores, dets[0].scores, atol=5e-2)
