@@ -118,7 +118,7 @@ class FaceEngine:
                 det_variables, self.detector.dtype)
         self.det_variables = det_variables
         self.rec_variables = rec_variables
-        self._embed_q = None
+        self._embed_scales = None
         if self.cfg.embed_int8 and rec_arch in ("r50", "r18"):
             # int8 PTQ embedder (models/quant.py): per-channel int8 conv
             # weights + per-layer activation scales calibrated once here
@@ -135,8 +135,14 @@ class FaceEngine:
                                      depths=self._quant_depths, dtype=dtype)
             qw = quant.quantize_weights(rec_variables,
                                         depths=self._quant_depths)
-            self._embed_q = (qw, scales)
+            # Carried as an extra collection so the jitted programs take
+            # the int8 weights as inputs rather than baking ~25 MB of
+            # constants into every executable (and cache entry).
+            rec_variables = dict(rec_variables)
+            rec_variables["int8"] = qw
+            self._embed_scales = scales
         self._det_q = None
+        self._det_scales = None
         if self.cfg.det_int8 and "batch_stats" in det_variables:
             # int8 PTQ detector backbone (models/quant.py) — same
             # calibrate-at-build scheme as the embedder.
@@ -150,7 +156,10 @@ class FaceEngine:
                                             self.detector.cfg, dtype=dtype)
             dqw = quant.quantize_scrfd_weights(det_variables,
                                                self.detector.cfg)
-            self._det_q = (dqw, dscales)
+            det_variables = dict(det_variables)
+            det_variables["int8"] = dqw
+            self._det_scales = dscales
+            self._det_q = True
         self._centers = all_anchor_centers(h, w)
         self._strides = jnp.asarray(_stride_rows(h, w))
         self._dst = jnp.asarray(ARCFACE_DST) * (self.cfg.embed_size / 112.0)
@@ -191,13 +200,13 @@ class FaceEngine:
                 x, det_variables["packed_stem"],
                 self.detector.cfg.stem_width, self.detector.dtype)
         feats_in = None
-        if self._det_q is not None:
+        if "int8" in det_variables:
             from ..models import quant
 
-            dqw, dscales = self._det_q
             feats_in = quant.scrfd_backbone_forward(
-                det_variables, x, self.detector.cfg, qw=dqw,
-                act_scales=dscales, dtype=self.detector.dtype)
+                det_variables, x, self.detector.cfg,
+                qw=det_variables["int8"], act_scales=self._det_scales,
+                dtype=self.detector.dtype)
         logits, bbox, kps = self.detector.apply(det_variables, x,
                                                 stem_out=stem_out,
                                                 feats_in=feats_in)
@@ -228,11 +237,11 @@ class FaceEngine:
         return l2_normalize(emb)
 
     def _apply_embedder(self, rec_variables, x):
-        if self._embed_q is not None:
+        if "int8" in rec_variables:
             from ..models import quant
 
-            qw, scales = self._embed_q
-            return quant.apply_int8(rec_variables, qw, scales, x,
+            return quant.apply_int8(rec_variables, rec_variables["int8"],
+                                    self._embed_scales, x,
                                     depths=self._quant_depths,
                                     dtype=self.embedder.dtype)
         return self.embedder.apply(rec_variables, x)
