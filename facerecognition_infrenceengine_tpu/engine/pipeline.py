@@ -140,6 +140,7 @@ class FaceEngine:
             # constants into every executable (and cache entry).
             rec_variables = dict(rec_variables)
             rec_variables["int8"] = qw
+            self.rec_variables = rec_variables
             self._embed_scales = scales
         self._det_q = None
         self._det_scales = None
@@ -158,6 +159,7 @@ class FaceEngine:
                                                self.detector.cfg)
             det_variables = dict(det_variables)
             det_variables["int8"] = dqw
+            self.det_variables = det_variables
             self._det_scales = dscales
             self._det_q = True
         self._centers = all_anchor_centers(h, w)

@@ -59,6 +59,7 @@ def test_engine_embed_int8_flag():
     cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
                        dtype="float32", embed_int8=True)
     e = FaceEngine(cfg, det_arch="det_500m", rec_arch="r18", seed=3)
+    assert "int8" in e.rec_variables  # the quantized path is really live
     emb_q = e.embed_crops(crops)
     cfg0 = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
                         dtype="float32")
@@ -67,6 +68,8 @@ def test_engine_embed_int8_flag():
     cos = np.sum(emb * emb_q, axis=1) / (
         np.linalg.norm(emb, axis=1) * np.linalg.norm(emb_q, axis=1) + 1e-9)
     assert cos.min() > 0.98, cos
+    # and it must actually be the quantized path, not a silent fallback
+    assert not np.allclose(emb_q, emb, atol=1e-6)
 
 
 def test_scrfd_backbone_float_twin_matches_flax():
@@ -101,7 +104,7 @@ def test_engine_det_int8_close_to_float():
         cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
                            dtype="float32", det_int8=q)
         e = FaceEngine(cfg, det_arch="det_500m", rec_arch="r18", seed=3)
-        assert (e._det_q is not None) == q
+        assert ("int8" in e.det_variables) == q
         dets.append(e.detect(frames))
     # int8 backbone shifts scores slightly; with synthetic weights the
     # sigmoid saturates, so valid masks and box geometry stay close.
