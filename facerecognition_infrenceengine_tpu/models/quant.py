@@ -38,18 +38,13 @@ import numpy as np
 DEPTHS = (3, 4, 14, 3)  # iresnet50 (arcface.iresnet50)
 
 
-def _block_params(params, stats, name):
-    p, s = params[name], stats[name]
-    return p, s
-
-
 def _bn(x, p, s, eps=1e-5):
     inv = p["scale"] / jnp.sqrt(s["var"] + eps)
     return x * inv + (p["bias"] - s["mean"] * inv)
 
 
 def _prelu(x, p):
-    a = p["alpha"] if "alpha" in p else p[list(p.keys())[0]]
+    a = p["alpha"]
     return jnp.where(x > 0, x, x * a)
 
 
@@ -175,8 +170,6 @@ def calibrate(variables, calib_x, depths: Sequence[int] = DEPTHS,
     The collection pass runs as ONE jitted program (an eager forward
     would be an RTT per op on a tunneled TPU), and the scales come back
     as host floats so they bake into downstream jits as constants."""
-    import functools
-
     def collect_maxes(v, x):
         maxes = []
         _forward(v, x, depths=depths, dtype=dtype, collect=maxes)
