@@ -48,16 +48,22 @@ def _prelu(x, p):
     return jnp.where(x > 0, x, x * a)
 
 
-def quantize_weights(variables, depths: Sequence[int] = DEPTHS):
+def quantize_weights(variables, depths: Sequence[int] = DEPTHS,
+                     min_block: int = 0):
     """Per-output-channel int8 conv kernels + scales for every block conv.
 
     Returns {"<block>/<conv>": (w_int8 [3,3,ci,co] or [1,1,ci,co],
     scale [co])}; the stem conv and Dense are not quantized.
+    ``min_block`` keeps earlier blocks in float (mixed precision).
+    Measured v5e, 128 crops: bf16 10.76 ms, full int8 5.94, int8 from
+    stage 2 (min_block=3) 7.30, from stage 3 (min_block=7) 7.77 —
+    unlike the detector, the embedder's per-face stage-1 maps are small
+    enough that int8 wins there too, so full int8 is the default.
     """
     params = variables["params"]
     out = {}
     n_blocks = sum(depths)
-    for b in range(n_blocks):
+    for b in range(min_block, n_blocks):
         bp = params[f"IBasicBlock_{b}"]
         for conv in ("Conv_0", "Conv_1", "Conv_2"):
             if conv not in bp:
@@ -80,12 +86,14 @@ def _forward(variables, x, qw=None, act_scales=None, depths=DEPTHS,
     x = x.astype(f)
 
     def qconv(name, xin, stride):
-        """Quantization point + conv for one block conv."""
+        """Quantization point + conv for one block conv.  A conv absent
+        from ``qw`` runs in float — quantize_weights(min_block=...)
+        produces such mixed schemes (e.g. float stage 1, int8 rest)."""
         if collect is not None:
             collect.append(jnp.max(jnp.abs(xin)))
         blk, conv = name.split("/")
         w = params[blk][conv]["kernel"].astype(f)
-        if qw is None:
+        if qw is None or name not in qw:
             y = jax.lax.conv_general_dilated(
                 xin.astype(dtype), w.astype(dtype),
                 (stride, stride),
