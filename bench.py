@@ -156,8 +156,8 @@ def main():
                                   det_arch="det_10g", rec_arch="r50", seed=0)
             it8_s = device_loop_time(fused_loop_runner(engine_q, frames))
             faces_per_sec_int8 = round(batch * max_faces / it8_s, 1)
-        except Exception:
-            faces_per_sec_int8 = None
+        except Exception as exc:  # surface the failure, don't mask it as
+            faces_per_sec_int8 = {"error": str(exc)[:200]}  # "mode absent"
 
     # Gallery QPS: 64 queries vs a 100k-identity gallery, top-1.  The match
     # is microseconds per iteration, so the loop counts are large enough for

@@ -104,9 +104,9 @@ class _CompanySnapshot:
             return np.full((b, k), -1.0, np.float32), [[None] * k for _ in range(b)]
         q32 = jnp.asarray(np.asarray(query_embeddings, np.float32))
         if mesh is not None:
+            dense = self._dense_matrix()
             vals, idx = distributed_topk(
-                q32.astype(self._dense_matrix().dtype), self._dense_matrix(),
-                self.device_valid, mesh, k=k)
+                q32.astype(dense.dtype), dense, self.device_valid, mesh, k=k)
         elif match_pallas.supported(len(query_embeddings),
                                     self.device_matrix, k):
             # Fused single-pass kernel: gallery bytes are the only HBM
@@ -119,8 +119,8 @@ class _CompanySnapshot:
                     q32, self.device_matrix, self.size)
             vals, idx = v1[:, None], i1[:, None]
         else:
-            vals, idx = cosine_topk(q32.astype(self._dense_matrix().dtype),
-                                    self._dense_matrix(),
+            dense = self._dense_matrix()
+            vals, idx = cosine_topk(q32.astype(dense.dtype), dense,
                                     self.device_valid, k=k)
         vals = np.asarray(vals)
         idx = np.asarray(idx)

@@ -54,6 +54,44 @@ def bucket(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256)) -> int:
     return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
 
 
+def _calibration_crops(n: int, size: int, seed: int = 1234) -> np.ndarray:
+    """Deterministic structured calibration images for PTQ.
+
+    Aligned face crops are dominated by smooth shading (skin), a bright
+    oval on a darker background, localized dark features (eyes/brows/
+    mouth) and mild texture.  These synthetic crops span that structure —
+    per-image varying illumination gradients, an elliptical bright
+    region, feature blobs, and low-amplitude noise — so abs-max
+    activation scales land far closer to real-face ranges than uniform
+    noise (whose full-range high-frequency energy mis-sizes early-layer
+    ranges).  Still synthetic: with real converted weights, calibrate
+    from real aligned crops via FaceEngine.recalibrate_int8.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    crops = np.empty((n, size, size, 3), np.uint8)
+    for i in range(n):
+        gx, gy = rng.uniform(-60, 60, 2)
+        base = rng.uniform(70, 170)
+        img = base + gx * (xx - 0.5) + gy * (yy - 0.5)
+        # face oval (center-bright ellipse)
+        cx, cy = rng.uniform(0.4, 0.6, 2)
+        d = ((xx - cx) / 0.32) ** 2 + ((yy - cy) / 0.45) ** 2
+        img = img + rng.uniform(20, 70) * np.exp(-d)
+        img = np.repeat(img[:, :, None], 3, axis=2)
+        img *= np.array([1.0, rng.uniform(0.75, 0.95),
+                         rng.uniform(0.6, 0.9)], np.float32)  # skin-ish tint
+        # dark feature blobs (eyes, brows, mouth analogues)
+        for _ in range(rng.integers(3, 6)):
+            bx, by = rng.uniform(0.2, 0.8, 2)
+            bw = rng.uniform(0.04, 0.12)
+            blob = np.exp(-(((xx - bx) / bw) ** 2 + ((yy - by) / (bw * 0.6)) ** 2))
+            img -= rng.uniform(30, 90) * blob[:, :, None]
+        img += rng.normal(0, 6, img.shape)  # sensor-noise texture
+        crops[i] = np.clip(img, 0, 255).astype(np.uint8)
+    return crops
+
+
 @dataclass
 class DetectionBatch:
     """Host-side view of the detect program's fixed-shape outputs."""
@@ -119,20 +157,19 @@ class FaceEngine:
         self.det_variables = det_variables
         self.rec_variables = rec_variables
         self._embed_scales = None
+        self._int8_calibration = None
         if self.cfg.embed_int8 and rec_arch in ("r50", "r18"):
             # int8 PTQ embedder (models/quant.py): per-channel int8 conv
-            # weights + per-layer activation scales calibrated once here
-            # from deterministic synthetic crops (re-calibrates the same
-            # way when real converted weights are loaded).
+            # weights + per-layer activation scales.  The default
+            # calibration set is deterministic *structured* crops
+            # (face-oval shading + feature blobs + texture — see
+            # _calibration_crops), not uniform noise: noise-driven abs-max
+            # scales can silently clip or waste range on real-face
+            # activation distributions.  Production deployments with real
+            # weights should call recalibrate_int8(real_aligned_crops).
             from ..models import quant
 
             self._quant_depths = (3, 4, 14, 3) if rec_arch == "r50" else (2, 2, 2, 2)
-            rng = np.random.default_rng(1234)
-            calib = arcface.preprocess(jnp.asarray(rng.integers(
-                0, 255, (8, self.cfg.embed_size, self.cfg.embed_size, 3),
-                dtype=np.uint8)))
-            scales = quant.calibrate(rec_variables, calib,
-                                     depths=self._quant_depths, dtype=dtype)
             qw = quant.quantize_weights(rec_variables,
                                         depths=self._quant_depths)
             # Carried as an extra collection so the jitted programs take
@@ -141,7 +178,7 @@ class FaceEngine:
             rec_variables = dict(rec_variables)
             rec_variables["int8"] = qw
             self.rec_variables = rec_variables
-            self._embed_scales = scales
+            self.recalibrate_int8()
         self._det_q = None
         self._det_scales = None
         if self.cfg.det_int8 and "batch_stats" in det_variables:
@@ -149,9 +186,8 @@ class FaceEngine:
             # calibrate-at-build scheme as the embedder.
             from ..models import quant
 
-            rngd = np.random.default_rng(4321)
-            calib_frames = jnp.asarray(rngd.integers(
-                0, 255, (4, h, w, 3), dtype=np.uint8))
+            calib_frames = jnp.asarray(_calibration_crops(4, max(h, w),
+                                                          seed=4321)[:, :h, :w])
             calib_x = scrfd.preprocess(calib_frames)
             dscales = quant.calibrate_scrfd(det_variables, calib_x,
                                             self.detector.cfg, dtype=dtype)
@@ -247,6 +283,35 @@ class FaceEngine:
                                     depths=self._quant_depths,
                                     dtype=self.embedder.dtype)
         return self.embedder.apply(rec_variables, x)
+
+    def recalibrate_int8(self, crops_u8=None):
+        """(Re)calibrate the int8 embedder's activation scales.
+
+        crops_u8: [N, embed_size, embed_size, 3] uint8 *aligned face
+        crops* — with real converted weights, pass real production crops
+        (e.g. a handful of enrollment crops); None uses the deterministic
+        structured default (_calibration_crops).  Scales are baked into
+        the compiled executables as trace-time constants, so the jitted
+        programs are rebuilt.  models/quant.clip_fractions measures scale
+        drift on live data against the chosen scales.
+        """
+        if "int8" not in self.rec_variables:
+            raise ValueError("engine was not built with embed_int8")
+        from ..models import quant
+
+        if crops_u8 is None:
+            crops_u8 = _calibration_crops(8, self.cfg.embed_size)
+            self._int8_calibration = "synthetic-structured"
+        else:
+            self._int8_calibration = f"user({len(crops_u8)} crops)"
+        calib = arcface.preprocess(jnp.asarray(np.asarray(crops_u8, np.uint8)))
+        self._embed_scales = quant.calibrate(
+            self.rec_variables, calib, depths=self._quant_depths,
+            dtype=self.embedder.dtype)
+        # The scales were captured at trace time; invalidate compiled code.
+        self._embed_jit = jax.jit(self._embed_impl)
+        self._embed_crops_jit = jax.jit(self._embed_crops_impl)
+        self._fused_jit = jax.jit(self._fused_impl)
 
     def embed_crops(self, crops_u8) -> np.ndarray:
         """Embed pre-aligned 112x112 crops (host-warped path); [M,112,112,3]."""

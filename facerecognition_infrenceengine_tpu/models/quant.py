@@ -76,10 +76,13 @@ def quantize_weights(variables, depths: Sequence[int] = DEPTHS,
 
 
 def _forward(variables, x, qw=None, act_scales=None, depths=DEPTHS,
-             dtype=jnp.bfloat16, collect=None):
+             dtype=jnp.bfloat16, collect=None, collect_reduce="absmax",
+             collect_scales=None):
     """Shared forward.  With qw+act_scales: int8 convs.  With
     ``collect`` (a list): float forward that appends per-quant-point
-    abs-max scalars in a fixed order (calibration)."""
+    scalars in a fixed order — abs-max (calibration) or, with
+    ``collect_reduce="clipfrac"`` + per-point ``collect_scales``, the
+    fraction of values that would clip at that scale (diagnostics)."""
     params = variables["params"]
     stats = variables["batch_stats"]
     f = jnp.float32
@@ -90,7 +93,12 @@ def _forward(variables, x, qw=None, act_scales=None, depths=DEPTHS,
         from ``qw`` runs in float — quantize_weights(min_block=...)
         produces such mixed schemes (e.g. float stage 1, int8 rest)."""
         if collect is not None:
-            collect.append(jnp.max(jnp.abs(xin)))
+            if collect_reduce == "clipfrac":
+                s = collect_scales[len(collect)]
+                collect.append(jnp.mean(
+                    (jnp.abs(xin) > 127.0 * s).astype(f)))
+            else:
+                collect.append(jnp.max(jnp.abs(xin)))
         blk, conv = name.split("/")
         w = params[blk][conv]["kernel"].astype(f)
         if qw is None or name not in qw:
@@ -196,6 +204,30 @@ def apply_int8(variables, qw, act_scales, x, depths: Sequence[int] = DEPTHS,
     [B, 512] f32 embeddings — callers l2-normalize)."""
     return _forward(variables, x, qw=qw, act_scales=act_scales,
                     depths=depths, dtype=dtype)
+
+
+def clip_fractions(variables, act_scales, x, depths: Sequence[int] = DEPTHS,
+                   dtype=jnp.bfloat16) -> dict:
+    """Per-quant-point fraction of activations that would clip at the given
+    scales (|a| > 127 * scale).
+
+    Diagnostic for PTQ scale drift: scales calibrated on one distribution
+    (e.g. the synthetic default) may clip on another (real faces).  Runs
+    the float forward once (one jitted program); returns
+    {quant_point: python float in [0, 1]}.  A healthy calibration keeps
+    every entry near 0 (<1e-3); persistent clipping means recalibrate
+    (FaceEngine.recalibrate_int8)."""
+    names = calibration_order(depths)
+
+    def collect(v, xx):
+        maxes = []
+        _forward(v, xx, depths=depths, dtype=dtype, collect=maxes,
+                 collect_reduce="clipfrac",
+                 collect_scales=[act_scales[n] for n in names])
+        return jnp.stack(maxes)
+
+    fracs = np.asarray(jax.jit(collect)(variables, x))
+    return {n: float(f) for n, f in zip(names, fracs)}
 
 
 def apply_float(variables, x, depths: Sequence[int] = DEPTHS,

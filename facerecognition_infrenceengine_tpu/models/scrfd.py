@@ -228,10 +228,15 @@ class SCRFD(nn.Module):
         rows ordered (stride asc, y, x, anchor) to match ops.anchors.
         """
         x = x.astype(self.dtype)
-        feats = ResNetV1e(self.cfg, dtype=self.dtype, name="backbone")(
-            x, train, stem_out=stem_out)
         if feats_in is not None:
+            # int8 backbone twin supplies [C3, C4, C5] — don't trace the
+            # float backbone at all (its params were declared at init and
+            # stay unused; tracing it would double compile work and, under
+            # jax.disable_jit, actually execute the dead graph).
             feats = [f.astype(self.dtype) for f in feats_in]
+        else:
+            feats = ResNetV1e(self.cfg, dtype=self.dtype, name="backbone")(
+                x, train, stem_out=stem_out)
         feats = PAFPN(self.cfg.neck_width, dtype=self.dtype, name="neck")(feats, train)
         head = SCRFDHead(self.cfg.head_width, self.cfg.head_depth,
                          dtype=self.dtype, name="head")

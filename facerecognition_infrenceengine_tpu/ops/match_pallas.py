@@ -97,8 +97,11 @@ def gallery_top1(queries: jax.Array, gallery: jax.Array, n_valid: jax.Array,
     # in-flight buffers + scores stay well under VMEM (f32 2048x512 = 4 MB).
     tile = min(2048, n)
     grid = pl.cdiv(n, tile)
-    # Pad queries to the f32 sublane minimum so tiny batches lower cleanly.
-    b_pad = max(8, -(-b // 8) * 8)
+    # Pad queries to the dtype's native sublane tile (8 for f32, 16 for
+    # bf16 — mirroring the int8 kernel's 32) so tiny batches lower to a
+    # whole VMEM tile instead of a sub-tile bf16 block.
+    sub = 16 if queries.dtype == jnp.bfloat16 else 8
+    b_pad = -(-b // sub) * sub
     if b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
 

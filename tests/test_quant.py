@@ -72,6 +72,44 @@ def test_engine_embed_int8_flag():
     assert not np.allclose(emb_q, emb, atol=1e-6)
 
 
+def test_recalibrate_and_clip_fractions(model_and_vars):
+    """Structured-default calibration, user recalibration, and the clip-rate
+    diagnostic (ADVICE r2: noise-calibrated scales can silently clip)."""
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.engine import FaceEngine
+    from facerecognition_infrenceengine_tpu.engine.pipeline import (
+        _calibration_crops)
+
+    cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                       dtype="float32", embed_int8=True)
+    e = FaceEngine(cfg, det_arch="det_500m", rec_arch="r18", seed=3)
+    assert e._int8_calibration == "synthetic-structured"
+    s0 = dict(e._embed_scales)
+
+    rng = np.random.default_rng(11)
+    crops = rng.integers(0, 255, (4, 112, 112, 3), dtype=np.uint8)
+    e.recalibrate_int8(crops)  # "real" crops hook
+    assert e._int8_calibration == "user(4 crops)"
+    assert e._embed_scales != s0  # scales actually re-derived
+    emb = e.embed_crops(crops)  # programs rebuilt and still serve
+    assert emb.shape == (4, 512)
+
+    # clip fractions: ~0 on the calibration set itself, >0 when scales
+    # are deliberately shrunk (the drift signal the diagnostic exists for)
+    x = arcface.preprocess(jnp.asarray(crops))
+    fr = quant.clip_fractions(e.rec_variables, e._embed_scales, x,
+                              depths=(2, 2, 2, 2), dtype=jnp.float32)
+    assert all(0.0 <= v <= 1e-6 for v in fr.values()), fr
+    shrunk = {k: v * 0.25 for k, v in e._embed_scales.items()}
+    fr2 = quant.clip_fractions(e.rec_variables, shrunk, x,
+                               depths=(2, 2, 2, 2), dtype=jnp.float32)
+    assert max(fr2.values()) > 0.0
+
+    # default generator is deterministic (scales reproducible across runs)
+    np.testing.assert_array_equal(_calibration_crops(2, 112),
+                                  _calibration_crops(2, 112))
+
+
 def test_scrfd_backbone_float_twin_matches_flax():
     from facerecognition_infrenceengine_tpu.models import quant, scrfd
 
