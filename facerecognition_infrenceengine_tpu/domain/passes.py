@@ -10,47 +10,46 @@ preserved.
 
 QR: the reference encodes via the ``qrcode`` package and its verify endpoint
 is broken by construction (it feeds PNG bytes to a QR *encoder* and reads a
-nonexistent attribute, reference visitor.py:1040-1052).  Neither ``qrcode``
-nor ``pyzbar`` exist in this environment; OpenCV provides both directions —
-``cv2.QRCodeEncoder`` and ``cv2.QRCodeDetector`` — so here verify actually
-decodes.
+nonexistent attribute, reference visitor.py:1040-1052).  Here BOTH
+directions are the framework's own ISO 18004 implementation
+(``domain/qr.py`` — byte mode, Reed-Solomon, mask selection, and a
+clean-synthetic decoder) so verify actually decodes, with no cv2 anywhere
+in the pass stack (tests cross-check the codec against OpenCV as an
+optional oracle).
 """
 
 from __future__ import annotations
 
 import io
 
-import cv2
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
+
+from . import qr as qrcodec
+
 
 # ------------------------------------------------------------------- QR
 def qr_encode(payload: str, module_px: int = 10, border_modules: int = 4) -> Image.Image:
     """Encode ``payload`` into a PIL image (black on white, quiet zone)."""
-    enc = cv2.QRCodeEncoder.create()
-    matrix = enc.encode(payload)  # uint8 {0,255}, one px per module
-    img = np.kron(matrix, np.ones((module_px, module_px), np.uint8))
-    pad = border_modules * module_px
-    img = cv2.copyMakeBorder(img, pad, pad, pad, pad, cv2.BORDER_CONSTANT, value=255)
+    matrix = qrcodec.encode(payload)
+    img = qrcodec.render(matrix, module_px=module_px,
+                         border_modules=border_modules)
     return Image.fromarray(img).convert("RGB")
 
 
 def qr_decode(image_bytes: bytes) -> str | None:
     """Decode a QR payload from PNG/JPEG bytes; None when undecodable."""
-    arr = np.frombuffer(image_bytes, np.uint8)
-    img = cv2.imdecode(arr, cv2.IMREAD_GRAYSCALE)
-    if img is None:
+    try:
+        img = Image.open(io.BytesIO(image_bytes)).convert("L")
+    except Exception:
         return None
-    det = cv2.QRCodeDetector()
-    for candidate in (img, cv2.resize(img, None, fx=2, fy=2,
-                                      interpolation=cv2.INTER_NEAREST)):
-        try:
-            data, pts, _ = det.detectAndDecode(candidate)
-        except cv2.error:
-            continue
-        if data:
-            return data
-    return None
+    payload = qrcodec.decode_image(np.asarray(img))
+    if payload is None:
+        return None
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
 
 
 # ----------------------------------------------------------------- fonts
