@@ -93,6 +93,32 @@ class UnknownPerson:
             "last_bbox": self.last_bbox,
         }
 
+    def to_persist_doc(self) -> dict:
+        """Full cluster state for the unknown_clusters collection — the
+        reference keeps clusters memory-only and loses them on restart
+        (reference peopleCount.py:231, SURVEY §5.4); persisting the
+        embedding window lets an unknown seen before a restart rejoin the
+        same cluster after it."""
+        doc = self.to_dict()
+        doc["embeddings"] = [[float(v) for v in e] for e in self.embeddings]
+        return doc
+
+    @classmethod
+    def from_doc(cls, doc: dict, history: int = 10) -> "UnknownPerson":
+        embs = [np.asarray(e, np.float32) for e in doc.get("embeddings", [])]
+        if not embs:
+            embs = [np.zeros(512, np.float32)]
+        obj = cls(doc["unknown_id"], doc["campus_id"], doc["first_seen"],
+                  (doc.get("cameras_seen") or ["?"])[0], embs[0],
+                  doc.get("last_bbox") or [0, 0, 0, 0], history=history)
+        for e in embs[1:]:
+            obj.embeddings.append(e)
+        obj.avg_embedding = np.mean(list(obj.embeddings), axis=0)
+        obj.last_seen = doc.get("last_seen", obj.first_seen)
+        obj.detection_count = doc.get("detection_count", len(embs))
+        obj.cameras_seen = set(doc.get("cameras_seen") or [])
+        return obj
+
 
 class PersonState:
     """reference peopleCount.py:94-201."""
@@ -222,9 +248,11 @@ class CampusPeopleManager:
         self.update_queue_lock = threading.Lock()
         self.pending_updates: List[dict] = []
         self.pending_events: List[dict] = []
+        self.pending_cluster_updates: List[dict] = []
         self.last_batch_time = time.time()
 
         self._load_people_state()
+        self._load_unknown_clusters()
 
         self.running = False
         self.batch_thread = None
@@ -262,6 +290,8 @@ class CampusPeopleManager:
         self.ds.campus_events.create_index([("event_type", 1), ("timestamp", -1)])
         self.ds.campus_analytics.create_index([("campus_id", 1), ("date", -1)])
         self.ds.unknown_detections.create_index([("campus_id", 1), ("timestamp", -1)])
+        self.ds.unknown_clusters.create_index(
+            [("campus_id", 1), ("unknown_id", 1)], unique=True)
 
     def _load_people_state(self):
         # reference peopleCount.py:278-315
@@ -287,6 +317,29 @@ class CampusPeopleManager:
                         stats["visitors_inside"].add(person_id)
                 stats["total_entries_today"] += state.total_entries_today
                 stats["total_exits_today"] += state.total_exits_today
+
+    def _load_unknown_clusters(self):
+        """Beyond-reference hardening: the reference's unknown clusters are
+        memory-only and lost on restart (peopleCount.py:231).  Reload them
+        (running-mean embedding window included) so re-appearing unknowns
+        rejoin their cluster instead of inflating unique_unknowns."""
+        with self.state_lock:
+            for doc in self.ds.unknown_clusters.find({}):
+                campus_id = doc["campus_id"]
+                unknown = UnknownPerson.from_doc(
+                    doc, history=self.cfg.unknown_history)
+                self.unknown_people[campus_id][unknown.unknown_id] = unknown
+            for campus_id, clusters in self.unknown_people.items():
+                self.campus_stats[campus_id]["unique_unknowns"] = len(clusters)
+
+    def _queue_cluster_update(self, unknown: "UnknownPerson"):
+        with self.update_queue_lock:
+            self.pending_cluster_updates.append({
+                "filter": {"campus_id": unknown.campus_id,
+                           "unknown_id": unknown.unknown_id},
+                "update": {"$set": unknown.to_persist_doc()},
+                "upsert": True,
+            })
 
     # ------------------------------------------------------------- cameras
     def register_camera(self, camera_id: str, campus_id: str,
@@ -378,6 +431,7 @@ class CampusPeopleManager:
                     break
             if matched:
                 matched.update(timestamp, camera_id, face_embedding, bbox)
+                self._queue_cluster_update(matched)
                 self.campus_stats[campus_id]["unknown_detections_today"] += 1
                 event = {
                     "type": "unknown_detection",
@@ -394,6 +448,8 @@ class CampusPeopleManager:
                 self.unknown_people[campus_id][unknown_id] = UnknownPerson(
                     unknown_id, campus_id, timestamp, camera_id,
                     face_embedding, bbox, history=self.cfg.unknown_history)
+                self._queue_cluster_update(
+                    self.unknown_people[campus_id][unknown_id])
                 stats = self.campus_stats[campus_id]
                 stats["unknown_detections_today"] += 1
                 stats["unique_unknowns"] = len(self.unknown_people[campus_id])
@@ -443,7 +499,9 @@ class CampusPeopleManager:
                 should_flush = (now - self.last_batch_time) >= self.cfg.batch_interval_s
                 with self.update_queue_lock:
                     big = (len(self.pending_updates) >= self.cfg.batch_size
-                           or len(self.pending_events) >= self.cfg.batch_size)
+                           or len(self.pending_events) >= self.cfg.batch_size
+                           or len(self.pending_cluster_updates)
+                           >= self.cfg.batch_size)
                 if should_flush or big:
                     self.flush()
                     self.last_batch_time = now
@@ -456,8 +514,10 @@ class CampusPeopleManager:
         with self.update_queue_lock:
             updates = self.pending_updates[:]
             events = self.pending_events[:]
+            clusters = self.pending_cluster_updates[:]
             self.pending_updates.clear()
             self.pending_events.clear()
+            self.pending_cluster_updates.clear()
         if updates:
             # ds.UpdateOne is the backend's own request type — pymongo
             # rejects the embedded store's class and vice versa
@@ -475,6 +535,13 @@ class CampusPeopleManager:
                 self.ds.campus_events.insert_many(regular)
             if unknown:
                 self.ds.unknown_detections.insert_many(unknown)
+        if clusters:
+            # last write per cluster wins (docs are full-state $set upserts)
+            latest = {(c["filter"]["campus_id"], c["filter"]["unknown_id"]): c
+                      for c in clusters}
+            ops = [self.ds.UpdateOne(c["filter"], c["update"], upsert=True)
+                   for c in latest.values()]
+            self.ds.unknown_clusters.bulk_write(ops, ordered=False)
 
     def _analytics_loop(self):
         while self.running:

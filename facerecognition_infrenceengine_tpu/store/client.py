@@ -83,6 +83,9 @@ class Datastore:
         self.campus_events = self.db["campus_events"]
         self.campus_analytics = self.db["campus_analytics"]
         self.unknown_detections = self.db["unknown_detections"]
+        # beyond-reference: persisted unknown clusters (the reference loses
+        # them on restart, peopleCount.py:231; SURVEY §5.4)
+        self.unknown_clusters = self.db["unknown_clusters"]
 
 
 def get_datastore(cfg: Config | None = None, fresh: bool = False) -> Datastore:
