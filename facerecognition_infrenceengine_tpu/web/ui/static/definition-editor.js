@@ -92,20 +92,50 @@ function renderTypesEditor() {
     const attrBody = el('tbody', {});
     const commit = () => { writeAttrRows(spec, rows); renderEditorPreview(); };
     rows.forEach((row, i) => {
+      // live validation feedback: the regex cell flags un-compilable
+      // patterns as you type, and the sample cell evaluates a trial value
+      // against allowed-values + regex exactly as the API will
+      // (api/entity.py validate_entity_against_definition)
+      const badge = el('span', { class: 'ed-feedback muted' }, '');
+      let sample = '';
+      const patternInput = input(row.pattern, v => {
+        row.pattern = v; commit(); refresh();
+      }, { placeholder: '^PLT\\d{3}$', class: 'mono ed-pattern' });
+
+      function refresh() {
+        let re = null, bad = false;
+        if (row.pattern) {
+          try { re = new RegExp(row.pattern); } catch (e) { bad = true; }
+        }
+        patternInput.classList.toggle('invalid', bad);
+        if (bad) { badge.textContent = 'invalid regex'; badge.className = 'ed-feedback fail'; return; }
+        if (!sample) { badge.textContent = ''; badge.className = 'ed-feedback muted'; return; }
+        const vals = row.allowed.split(',').map(x => x.trim()).filter(Boolean);
+        const okAllowed = !vals.length || vals.includes(sample);
+        const okRe = !re || re.test(sample);
+        const ok = okAllowed && okRe;
+        badge.textContent = ok ? '✓ valid'
+          : (!okAllowed ? '✗ not in allowed values' : '✗ fails regex');
+        badge.className = 'ed-feedback ' + (ok ? 'ok' : 'fail');
+      }
+
       attrBody.append(el('tr', {},
         el('td', {}, input(row.name, v => { row.name = v; commit(); },
                            { placeholder: 'attribute' })),
         el('td', { style: 'text-align:center' },
           checkbox(row.required, v => { row.required = v; commit(); })),
-        el('td', {}, input(row.allowed, v => { row.allowed = v; commit(); },
+        el('td', {}, input(row.allowed, v => { row.allowed = v; commit(); refresh(); },
                            { placeholder: 'a, b, c' })),
-        el('td', {}, input(row.pattern, v => { row.pattern = v; commit(); },
-                           { placeholder: '^PLT\\d{3}$', class: 'mono' })),
+        el('td', {}, patternInput),
+        el('td', {}, input(sample, v => { sample = v; refresh(); },
+                           { placeholder: 'try a value…', class: 'ed-sample' }),
+          badge),
         el('td', {}, el('button', {
           type: 'button', class: 'small danger',
           onclick: () => { rows.splice(i, 1); commit(); renderTypesEditor(); },
         }, '×')),
       ));
+      refresh();
     });
     list.append(el('div', { class: 'panel ed-type-card', style: 'margin-bottom:10px' },
       el('div', { style: 'display:flex;gap:8px;align-items:center' },
@@ -136,7 +166,7 @@ function renderTypesEditor() {
         el('thead', {}, el('tr', {},
           el('th', {}, 'Attribute'), el('th', {}, 'Required'),
           el('th', {}, 'Allowed values'), el('th', {}, 'Validation regex'),
-          el('th', {}, ''))),
+          el('th', {}, 'Live test'), el('th', {}, ''))),
         attrBody),
       el('button', {
         type: 'button', class: 'small',

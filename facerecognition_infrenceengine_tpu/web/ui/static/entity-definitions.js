@@ -127,7 +127,12 @@ function renderEntities() {
       sub: ent.type,
       parentId: ent.parentId,
     })),
-    { onSelect: selectEntity, selectedId: STATE.selectedEntityId });
+    {
+      onSelect: selectEntity,
+      selectedId: STATE.selectedEntityId,
+      viewKey: `hierarchy.${STATE.companyId || 'none'}`,
+      onMove: moveEntityTo,
+    });
 
   renderEntityDetail();
 }
@@ -239,6 +244,20 @@ async function deleteEntity(ent) {
     toast('Entity deleted');
     loadEntities();
   } catch (e) { toast(e.message, true); }
+}
+
+function moveEntityTo(entityId, newParentId) {
+  // drag-to-reparent drop handler (hierarchy.js): confirm, then the same
+  // /move endpoint the prompt-based flow uses (cycle guard is server-side)
+  const ent = entityById(entityId);
+  if (!ent) return;
+  const label = newParentId
+    ? `"${(entityById(newParentId) || {}).name || newParentId}"` : 'root';
+  if (!confirm(`Move "${ent.name}" under ${label}?`)) { renderEntities(); return; }
+  api(`${API_CONFIG.ENDPOINTS.ENTITIES}/${entityId}/move`, {
+    method: 'POST', json: { newParentId },
+  }).then(() => { toast('Entity moved'); loadEntities(); })
+    .catch(e => { toast(e.message, true); renderEntities(); });
 }
 
 function openMoveEntity(ent) {
