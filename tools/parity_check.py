@@ -9,6 +9,8 @@ stacks on the same inputs and reports divergence:
   2. SCRFD: detection boxes/landmarks IoU + landmark RMS on the same frames
   3. Match decisions: top-1 identity + threshold pass/fail agreement over a
      synthetic gallery
+  4. Attributes: gender agreement / age delta / 106-landmark RMS between
+     models/onnx_exec.py (the exact graph, jitted) and onnxruntime
 
 Requires onnxruntime + the buffalo_l pack + converted .npz weights
 (tools/convert_onnx.py).  Neither is present in the build image — the tool
@@ -240,6 +242,50 @@ def check_match_decisions(pack: str, n_ids: int = 500, n_probe: int = 64) -> int
     return disagreements
 
 
+def check_attributes(pack: str, n: int = 32) -> dict:
+    """genderage + 2d106det: our executor (models/onnx_exec.py, the graph
+    itself jitted) vs onnxruntime on the SAME graph — gender agreement,
+    age delta, and 106-landmark RMS.  This is the exactness proof for the
+    attribute surface: there is no re-derived architecture to diverge."""
+    from facerecognition_infrenceengine_tpu.models import onnx_exec, onnxlite
+
+    results = {}
+    rng = np.random.default_rng(2)
+    for fname, label in (("genderage.onnx", "genderage"),
+                         ("2d106det.onnx", "landmark106")):
+        path = os.path.join(pack, fname)
+        if not os.path.exists(path):
+            print(f"{label}: {fname} not in pack, skipped")
+            continue
+        sess = _ort_session(path)
+        inp = sess.get_inputs()[0]
+        shape = [n if (isinstance(d, str) or not d or d < 0) else int(d)
+                 for d in inp.shape]
+        shape[0] = n
+        blobs = rng.uniform(0, 255, size=shape).astype(np.float32)
+        theirs = sess.run(None, {inp.name: blobs})[0]
+        runner = onnx_exec.OnnxRunner(onnxlite.load(path))
+        ours = np.asarray(runner(blobs)[0])
+        if label == "genderage":
+            gender_agree = int((np.argmax(ours[:, :2], 1)
+                                == np.argmax(theirs[:, :2], 1)).sum())
+            age_delta = float(np.abs(np.round(ours[:, 2] * 100)
+                                     - np.round(theirs[:, 2] * 100)).max())
+            ok = gender_agree == n and age_delta <= 1.0
+            print(f"genderage: {gender_agree}/{n} gender agreement, max age "
+                  f"delta {age_delta:.1f} ({'PASS' if ok else 'FAIL'})")
+            results[label] = (gender_agree, age_delta)
+        else:
+            size = shape[-1]
+            rms = float(np.sqrt(np.mean(
+                ((ours - theirs).reshape(n, -1, 2) * (size / 2.0)) ** 2)))
+            ok = rms <= 0.1  # pixels; same graph, fp divergence only
+            print(f"landmark106: {rms:.4f} px RMS over {n} crops "
+                  f"({'PASS' if ok else 'FAIL'} vs 0.1 px)")
+            results[label] = rms
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--pack", required=True)
@@ -265,6 +311,7 @@ def main():
     check_arcface(args.pack, images=images)
     check_scrfd(args.pack, frames=frames)
     check_match_decisions(args.pack)
+    check_attributes(args.pack)
 
 
 if __name__ == "__main__":
