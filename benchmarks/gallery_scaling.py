@@ -138,5 +138,65 @@ def main():
                   cap * 512)
 
 
+def manager_path(n_ids: int = (1 << 20) - 64, n_q: int = 64):
+    """GalleryManager-path benchmark at the 1M-ID axis (VERDICT r2 #2):
+
+    - full production ``snapshot.match`` wall time per dtype (host round
+      trip + id mapping included — what a GalleryManager.match caller pays),
+    - O(delta) sync cost: ``apply_delta`` for a 1-person update and a
+      1-person append against the 1M-row device matrix (vs the r2 behavior
+      of re-stacking + re-uploading ~2 GB per delta).
+    """
+    from bench import gallery_snapshots  # repo-root import
+    from facerecognition_infrenceengine_tpu.engine.gallery import (
+        _CompanySnapshot)
+    from facerecognition_infrenceengine_tpu.ops.matching import l2_normalize
+
+    cap = 1 << (n_ids - 1).bit_length()
+    snaps, gal = gallery_snapshots(cap)
+    rng = np.random.default_rng(3)
+    probes = np.asarray(gal[:n_q], np.float32)
+    print(f"\nGalleryManager snapshot path, {n_ids:,} live of {cap:,} rows:")
+    for dname, full in snaps.items():
+        if dname != "f32" and jax.default_backend() != "tpu":
+            continue
+        # live prefix < cap so appends have headroom (production shape)
+        snap = _CompanySnapshot._evolved(
+            full, full.ids[:n_ids], dict(list(full.row_of.items())[:0]),
+            {}, full.device_matrix,
+            jnp.arange(cap) < n_ids, n_ids)
+        snap.row_of = {pid: i for i, pid in enumerate(snap.ids)}
+        snap.match(probes)  # warm
+        t0 = time.perf_counter()
+        calls = 10
+        for i in range(calls):
+            snap.match(probes + np.float32(1e-3 * (i % 7)))
+        ms = (time.perf_counter() - t0) / calls * 1e3
+        print(f"  match({n_q} queries) {dname:>5}: {ms:8.2f} ms/call "
+              f"({n_q / ms * 1e3:,.0f} QPS)")
+
+        vec = rng.normal(size=512).astype(np.float32)
+        vec /= np.linalg.norm(vec) * (4.0 if dname == "int8" else 1.0)
+        warm = snap.apply_delta({"7": vec}, {"7": {}}, set(),
+                                lambda pid: vec)  # compile the scatter
+        np.asarray(warm.device_matrix[7])
+        t0 = time.perf_counter()
+        upd = snap.apply_delta({"42": vec}, {"42": {}}, set(),
+                               lambda pid: vec)
+        np.asarray(upd.device_matrix[42])  # force the scatter
+        t_upd = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        app = snap.apply_delta({"new-person": vec}, {"new-person": {}},
+                               set(), lambda pid: vec)
+        np.asarray(app.device_matrix[n_ids])
+        t_app = (time.perf_counter() - t0) * 1e3
+        assert app is not None and app.size == n_ids + 1
+        print(f"  apply_delta 1-row update: {t_upd:6.1f} ms, append: "
+              f"{t_app:6.1f} ms (r2 rebuilt + re-uploaded "
+              f"{cap * 512 * full.device_matrix.dtype.itemsize / 1e9:.1f} GB)")
+
+
 if __name__ == "__main__":
     main()
+    if "--manager" in sys.argv or os.environ.get("GALLERY_MANAGER_BENCH"):
+        manager_path()

@@ -180,13 +180,19 @@ def supported(queries_len: int, gallery: jax.Array, k: int) -> bool:
 # dtype (EngineConfig.gallery_dtype="int8"), not the parity default.
 # ---------------------------------------------------------------------------
 
-def quantize_gallery(x) -> tuple:
+def quantize_gallery(x, headroom: float = 1.0) -> tuple:
     """[N, D] float -> (int8 values [N, D], python float global scale).
-    numpy in, numpy out — used host-side when building gallery snapshots."""
+    numpy in, numpy out — used host-side when building gallery snapshots.
+
+    ``headroom`` > 1 coarsens the scale so vectors slightly larger than the
+    current gallery max can later be appended in place (incremental delta
+    sync) without clipping or a full requant rebuild; 1.25 costs ~0.3 bits
+    of resolution and absorbs virtually all drift from L2-normalized
+    embeddings."""
     import numpy as np
 
     x = np.asarray(x, np.float32)
-    scale = max(float(np.abs(x).max()) / 127.0, 1e-12)
+    scale = max(float(np.abs(x).max()) * headroom / 127.0, 1e-12)
     q = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
     return q, scale
 
