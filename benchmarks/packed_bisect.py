@@ -1,0 +1,87 @@
+"""Bisect the packed-vs-raw fused program: detect+warp (no embed) and the
+full program, both variants, to find where the isolated-stage wins go."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import device_loop_time  # noqa: E402
+
+
+def timed(fn, *args, n1=4, n2=20):
+    def loop(a, n):
+        def body(i, acc):
+            outs = fn(*a, i)
+            return acc + sum(jnp.float32(o.sum()) for o in jax.tree.leaves(outs))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    jfn = jax.jit(loop)
+
+    def run(n):
+        return float(jfn(args, jnp.int32(n)))
+
+    return device_loop_time(run, n1=n1, n2=n2)
+
+
+def main():
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.engine import FaceEngine
+    from facerecognition_infrenceengine_tpu.ops.warp2pass import (
+        warp_faces_two_pass, warp_faces_two_pass_packed)
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    cfg = EngineConfig(det_size=(640, 640), max_faces=16,
+                       pre_nms_topk=256, dtype="bfloat16")
+    engine = FaceEngine(cfg, det_arch="det_10g", rec_arch="r50", seed=0)
+    rng = np.random.default_rng(0)
+    frames_np = rng.integers(0, 255, (b, 640, 640, 3), dtype=np.uint8)
+    frames = jnp.asarray(frames_np)
+    packed = jnp.asarray(FaceEngine.pack_frames(frames_np))
+    f = cfg.max_faces
+
+    def dw_raw(dv, fr, i):
+        fr = jnp.bitwise_xor(fr, (i % 251).astype(jnp.uint8))
+        boxes, scores, kps, valid = engine._detect_impl(dv, fr, jnp.float32(0.3))
+        fidx = jnp.repeat(jnp.arange(b), f)
+        crops = warp_faces_two_pass(fr, fidx, kps.reshape(b * f, 5, 2),
+                                    cfg.embed_size, dst=engine._dst)
+        return crops, scores
+
+    def dw_pck(dv, fr, i):
+        fr = jnp.bitwise_xor(fr, (i % 251).astype(jnp.uint8))
+        boxes, scores, kps, valid = engine._detect_packed_impl(dv, fr, jnp.float32(0.3))
+        fidx = jnp.repeat(jnp.arange(b), f)
+        crops = warp_faces_two_pass_packed(fr, fidx, kps.reshape(b * f, 5, 2),
+                                           cfg.embed_size, dst=engine._dst)
+        return crops, scores
+
+    t = timed(dw_raw, engine.det_variables, frames)
+    print(f"detect+warp raw    B={b}: {t * 1e3:7.2f} ms", flush=True)
+    t = timed(dw_pck, engine.det_variables, packed)
+    print(f"detect+warp packed B={b}: {t * 1e3:7.2f} ms", flush=True)
+
+    def full_raw(i):
+        fr = jnp.bitwise_xor(frames, (i % 251).astype(jnp.uint8))
+        return engine._fused_impl(engine.det_variables, engine.rec_variables,
+                                  fr, jnp.float32(0.3))
+
+    def full_pck(i):
+        fr = jnp.bitwise_xor(packed, (i % 251).astype(jnp.uint8))
+        return engine._fused_packed_impl(engine.det_variables,
+                                         engine.rec_variables, fr,
+                                         jnp.float32(0.3))
+
+    t = timed(lambda i: full_raw(i))
+    print(f"fused raw    B={b}: {t * 1e3:7.2f} ms", flush=True)
+    t = timed(lambda i: full_pck(i))
+    print(f"fused packed B={b}: {t * 1e3:7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

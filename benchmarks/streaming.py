@@ -37,7 +37,8 @@ except Exception:
 
 
 def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
-        app=None, quiet: bool = False) -> dict:
+        app=None, quiet: bool = False, transport: str = "rgb",
+        frame_hw: tuple = (480, 640)) -> dict:
     """Sustained N-camera streaming measurement through the production
     path (threads -> MicroBatcher -> fused program).  Returns a dict of
     {fps_in, fps_processed, dropped, p50_ms, p90_ms, p99_ms, ...} so
@@ -53,14 +54,16 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
 
     if app is None:
         cfg = EngineConfig(det_size=(640, 640), max_faces=16, pre_nms_topk=256,
-                           dtype="bfloat16", microbatch_max=max(16, n_cameras))
+                           dtype="bfloat16", microbatch_max=max(16, n_cameras),
+                           stream_transport=transport)
         app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
         app.prepare(ctx_id=0, det_thresh=0.3)
     cfg = app.cfg
+    transport = cfg.stream_transport
 
     rng = np.random.default_rng(0)
     # unique per-camera frames at camera resolution (the facade letterboxes)
-    base_frames = [rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    base_frames = [rng.integers(0, 255, frame_hw + (3,), dtype=np.uint8)
                    for _ in range(n_cameras)]
 
     # Warm every bucketed batch shape the drain can produce BEFORE timing —
@@ -71,9 +74,11 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         sizes.append(b)
         b *= 2
     sizes.append(max(16, n_cameras))
+    warm_frames = ([app.encode_frame(f) for f in base_frames]
+                   if transport == "yuv420" else base_frames)
     for size in sizes:
         t0 = time.perf_counter()
-        app.get_batch([base_frames[i % n_cameras] for i in range(size)])
+        app.get_batch([warm_frames[i % n_cameras] for i in range(size)])
         say(f"  warm batch {size}: {time.perf_counter() - t0:.1f}s")
 
     batcher = MicroBatcher(app, cfg)
@@ -97,6 +102,10 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
             next_t += period
             # cheap uniqueness: roll the frame by the submission count
             f = np.roll(frame, submitted[idx] % 17, axis=1)
+            if transport == "yuv420":
+                # wire-format encode on the CAPTURE thread (parallel across
+                # cameras; ctypes releases the GIL), half the link bytes
+                f = app.encode_frame(f)
             submitted[idx] += 1
             t0 = time.perf_counter()
             fut = batcher.submit(f"cam{idx}", f)
@@ -136,7 +145,9 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         f"(avg batch {batcher.stats['frames'] / max(1, batcher.stats['dispatches']):.1f})")
     say(f"  processed-frame latency p50 {p(0.5):.1f} ms  "
         f"p90 {p(0.9):.1f} ms  p99 {p(0.99):.1f} ms")
-    mbps = (batcher.stats["frames"] * 640 * 640 * 3) / wall / 1e6
+    bpp = 1.5 if transport == "yuv420" else 3.0
+    dh, dw = cfg.det_size
+    mbps = (batcher.stats["frames"] * dh * dw * bpp) / wall / 1e6
     say(f"  note: host->device pixel traffic ~{mbps:.0f} MB/s; on a "
         f"tunneled link (~20 MB/s here) dispatch is transfer-bound — "
         f"PCIe-attached chips lift this ~1000x (see bench.py for the "
@@ -153,13 +164,17 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         "p90_ms": round(p(0.9), 1),
         "p99_ms": round(p(0.99), 1),
         "host_mbps": round(mbps, 1),
+        "transport": transport,
+        "submitted": int(total_submitted),
+        "processed": int(n_done),
     }
 
 
 def main():
     n_cameras = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     duration = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
-    run(n_cameras, duration)
+    transport = sys.argv[3] if len(sys.argv) > 3 else "rgb"
+    run(n_cameras, duration, transport=transport)
 
 
 if __name__ == "__main__":

@@ -130,6 +130,14 @@ class EngineConfig:
     # warp atlas needs raw-layout pixels.  Default off; "on" exists for
     # packed-input detect-only deployments and for re-measurement.
     stem_kernel: str = "off"  # "auto" (TPU only) | "on" | "off"
+    # Host->device frame transport for the batched serving path:
+    # "rgb" uploads raw letterboxed canvases (3 B/px, the parity default);
+    # "yuv420" uploads packed 4:2:0 YUV (1.5 B/px — half the bytes on the
+    # link that bottlenecks streaming, BENCH_r02) which the device undoes
+    # with one constant matmul (ops/yuv.py) before the fused packed
+    # program.  Pixel cost: chroma subsampling (visually lossless for
+    # faces; embeddings cosine >=0.99 vs rgb on smooth imagery).
+    stream_transport: str = "rgb"  # "rgb" | "yuv420"
     # int8 PTQ embedder (models/quant.py): opt-in scale mode like the
     # int8 gallery — measured 1.71x embed throughput on v5e (10.16 ->
     # 5.96 ms per 128 crops) at >=0.995 cosine vs bf16.  NOT the parity

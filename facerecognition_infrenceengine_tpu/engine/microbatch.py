@@ -101,36 +101,70 @@ class MicroBatcher:
                 del self._slots[key]
             return batch
 
+    def _dispatch(self, batch):
+        """Start one device batch; returns (futures, resolve_fn) or None.
+        Uses face_app.get_batch_async when available so the NEXT batch's
+        host prep + upload overlaps this batch's device time."""
+        frames = [f for f, _ in batch]
+        futures = [fut for _, fut in batch]
+        try:
+            if hasattr(self.face_app, "get_batch_async"):
+                resolve = self.face_app.get_batch_async(frames)
+            else:
+                results = self.face_app.get_batch(frames)
+                resolve = lambda: results  # noqa: E731
+        except Exception as e:  # propagate to every waiter
+            for fut in futures:
+                fut.set_exception(e)
+            return None
+        self.stats["dispatches"] += 1
+        self.stats["frames"] += len(frames)
+        metrics.counter("microbatch.frames").inc(len(frames))
+        metrics.gauge("microbatch.last_batch").set(len(frames))
+        return futures, resolve
+
+    @staticmethod
+    def _resolve(inflight):
+        futures, resolve = inflight
+        try:
+            results = resolve()
+        except Exception as e:
+            for fut in futures:
+                fut.set_exception(e)
+            return
+        for fut, faces in zip(futures, results):
+            fut.set_result(faces)
+
     def _loop(self):
+        # Double-buffered dispatch: while the device runs batch k, this
+        # thread drains + preps + uploads batch k+1, then blocks on k's
+        # results.  Under sustained camera load the host->device transfer
+        # (the streaming bottleneck) fully overlaps device compute; when
+        # idle, the in-flight batch resolves on the next (immediate) tick.
         window_s = self.cfg.microbatch_window_ms / 1000.0
+        inflight = None
         while self.running:
-            self._wakeup.wait(timeout=0.05)
-            self._wakeup.clear()
+            if inflight is None:
+                self._wakeup.wait(timeout=0.05)
+                self._wakeup.clear()
             if not self.running:
                 break
-            # small batching window: let concurrent cameras pile in
-            deadline = time.perf_counter() + window_s
-            while time.perf_counter() < deadline:
-                with self._lock:
-                    pending = sum(len(s) for s in self._slots.values())
-                if pending >= self.cfg.microbatch_max:
-                    break
-                time.sleep(window_s / 4)
+            if inflight is None:
+                # small batching window: let concurrent cameras pile in
+                deadline = time.perf_counter() + window_s
+                while time.perf_counter() < deadline:
+                    with self._lock:
+                        pending = sum(len(s) for s in self._slots.values())
+                    if pending >= self.cfg.microbatch_max:
+                        break
+                    time.sleep(window_s / 4)
             batch = self._drain()
-            if not batch:
-                continue
-            frames = [f for f, _ in batch]
-            futures = [fut for _, fut in batch]
-            try:
+            nxt = None
+            if batch:
                 with metrics.timer("microbatch.dispatch"):
-                    results = self.face_app.get_batch(frames)
-            except Exception as e:  # propagate to every waiter
-                for fut in futures:
-                    fut.set_exception(e)
-                continue
-            self.stats["dispatches"] += 1
-            self.stats["frames"] += len(frames)
-            metrics.counter("microbatch.frames").inc(len(frames))
-            metrics.gauge("microbatch.last_batch").set(len(frames))
-            for fut, faces in zip(futures, results):
-                fut.set_result(faces)
+                    nxt = self._dispatch(batch)
+            if inflight is not None:
+                self._resolve(inflight)
+            inflight = nxt
+        if inflight is not None:
+            self._resolve(inflight)

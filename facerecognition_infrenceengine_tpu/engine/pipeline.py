@@ -141,14 +141,17 @@ class FaceEngine:
             det_variables = dict(det_variables)
             det_variables["packed_stem"] = packed_stem.precompute_packed_stem(
                 det_variables, self.detector.dtype)
-        use_stem_kernel = (self.cfg.stem_kernel == "on"
-                           or (self.cfg.stem_kernel == "auto"
-                               and jax.default_backend() == "tpu"))
-        if (use_stem_kernel and "stem_pallas" not in det_variables
+        # Raw-frame path: the fused Pallas stem is opt-in (measured ~1.1 ms
+        # slower in situ when the program must first space-to-depth raw
+        # frames on device).  The PACKED-input path (detect_align_embed_
+        # packed) always uses it — that is its whole point — so the
+        # BN-folded packed kernels are precomputed whenever possible and
+        # carried as an extra collection (ordinary jit inputs).
+        self._stem_kernel_raw = (self.cfg.stem_kernel == "on"
+                                 or (self.cfg.stem_kernel == "auto"
+                                     and jax.default_backend() == "tpu"))
+        if ("stem_pallas" not in det_variables
                 and "batch_stats" in det_variables):
-            # Fused Pallas stem (ops/stem_pallas.py) — BN-folded packed
-            # kernels precomputed once, carried as an extra collection so
-            # every jitted program sees them as ordinary inputs.
             from ..ops import stem_pallas
 
             det_variables = dict(det_variables)
@@ -206,8 +209,12 @@ class FaceEngine:
         self._embed_jit = jax.jit(self._embed_impl)
         self._embed_crops_jit = jax.jit(self._embed_crops_impl)
         self._fused_jit = jax.jit(self._fused_impl)
+        self._fused_packed_jit = jax.jit(self._fused_packed_impl)
+        self._fused_yuv_jit = jax.jit(self._fused_yuv_impl)
         self._attr_jit = jax.jit(self._attributes_impl)
         self._attr_variables = None  # (genderage, landmark106), lazy
+        self._attr_runners = None    # exact-graph OnnxRunners when converted
+        self._attr_sizes = None
 
     # -------------------------------------------------------------- programs
     def _detect_impl(self, det_variables, frames_u8, det_threshold):
@@ -215,7 +222,8 @@ class FaceEngine:
         x = scrfd.preprocess(frames_u8)
         stem_out = None
         h, w = int(frames_u8.shape[1]), int(frames_u8.shape[2])
-        if ("stem_pallas" in det_variables and h % 4 == 0 and w % 4 == 0
+        if (self._stem_kernel_raw and "stem_pallas" in det_variables
+                and h % 4 == 0 and w % 4 == 0
                 and ((h // 4) % 16 == 0 or h // 4 <= 64)):
             # Fused Pallas stem kernel (ops/stem_pallas.py).  NB: wins
             # isolated but measured ~1.1 ms slower in situ from raw
@@ -248,6 +256,12 @@ class FaceEngine:
         logits, bbox, kps = self.detector.apply(det_variables, x,
                                                 stem_out=stem_out,
                                                 feats_in=feats_in)
+        return self._decode_nms(logits, bbox, kps, det_threshold)
+
+    def _decode_nms(self, logits, bbox, kps, det_threshold):
+        """Shared tail of every detect program: sigmoid -> decode -> masked
+        top-k -> greedy NMS at fixed [B, max_faces] capacity."""
+        cfg = self.cfg
         scores = jax.nn.sigmoid(logits[..., 0])  # [B, A]
         bbox = bbox * self._strides[None, :, None]
         kps = kps * self._strides[None, :, None]
@@ -265,6 +279,57 @@ class FaceEngine:
             return ob, osc, okps, valid
 
         return jax.vmap(per_image)(scores, boxes, points)
+
+    def _detect_packed_impl(self, det_variables, frames_p4, det_threshold):
+        """Detect from s2d4-packed u8 frames [B, H/4, W/4, 48] — the
+        production input contract when the native letterbox
+        (native/imagecodec.letterbox_s2d4) packs at pixel-writing time.
+        The fused Pallas stem consumes the packed layout directly, so the
+        program never pays the on-device byte transpose that made the
+        kernel a net loss from raw frames (ops/stem_pallas.py docstring).
+        """
+        from ..ops import stem_pallas
+
+        b, h4, w4, _ = frames_p4.shape
+        x4 = stem_pallas.pad_packed_u8(frames_p4)
+        stem_out = stem_pallas.fused_stem(
+            x4, det_variables["stem_pallas"], w4,
+            self.detector.cfg.stem_width,
+            interpret=jax.default_backend() != "tpu")
+        # Backbone runs from stem_out; x is never read on that path.
+        dummy = jnp.zeros((b, 1, 1, 3), jnp.float32)
+        logits, bbox, kps = self.detector.apply(det_variables, dummy,
+                                                stem_out=stem_out)
+        return self._decode_nms(logits, bbox, kps, det_threshold)
+
+    def _fused_packed_impl(self, det_variables, rec_variables, frames_p4,
+                           det_threshold):
+        """One program: packed detect -> packed-atlas align -> embed."""
+        from ..ops.warp2pass import warp_faces_two_pass_packed
+
+        boxes, scores, kps, valid = self._detect_packed_impl(
+            det_variables, frames_p4, det_threshold)
+        b = frames_p4.shape[0]
+        f = self.cfg.max_faces
+        frame_idx = jnp.repeat(jnp.arange(b), f)
+        crops = warp_faces_two_pass_packed(
+            frames_p4, frame_idx, kps.reshape(b * f, 5, 2),
+            self.cfg.embed_size, dst=self._dst)
+        emb = self._apply_embedder(rec_variables, arcface.preprocess(crops))
+        emb = l2_normalize(emb)
+        return boxes, scores, kps, valid, emb.reshape(b, f, -1)
+
+    def _fused_yuv_impl(self, det_variables, rec_variables, frames_y24,
+                        det_threshold):
+        """Packed-YUV420 transport variant of the fused program: one
+        constant 24->48 matmul (ops/yuv.py) turns the half-size wire format
+        into the packed-RGB layout, then the packed program runs unchanged.
+        Streaming hosts send 1.5 B/px instead of 3 (VERDICT r2 #5)."""
+        from ..ops import yuv
+
+        frames_p4 = yuv.yuv420p4_to_rgbp4(frames_y24)
+        return self._fused_packed_impl(det_variables, rec_variables,
+                                       frames_p4, det_threshold)
 
     def _embed_impl(self, rec_variables, frames_u8, frame_idx, kps):
         size = self.cfg.embed_size
@@ -331,10 +396,42 @@ class FaceEngine:
     def _ensure_attr_variables(self):
         """buffalo_l's genderage + 2d106det heads (reference loads the whole
         pack, infrenceServer.py:412-416); lazy so the recognition hot path
-        never pays for them unless attributes are requested."""
-        if self._attr_variables is None:
-            from ..models import genderage, landmark106
+        never pays for them unless attributes are requested.
 
+        Two sources, in preference order:
+        1. EXACT graphs: converted attr_genderage.onnx / attr_2d106det.onnx
+           in the weights dir (tools/convert_onnx.py installs them from a
+           buffalo_l pack) executed by models/onnx_exec.OnnxRunner — the
+           published topology and weights, jitted onto the MXU.
+        2. Capability-parity flax heads with deterministic synthetic
+           weights (models/genderage.py, models/landmark106.py) — shape and
+           wiring only, used when no pack has been converted.
+        """
+        if self._attr_variables is None:
+            import os
+
+            from ..models import genderage, landmark106
+            from ..models.weights import weights_dir
+
+            ga_path = os.path.join(weights_dir(), "attr_genderage.onnx")
+            lm_path = os.path.join(weights_dir(), "attr_2d106det.onnx")
+            self._attr_runners = None
+            if os.path.exists(ga_path) and os.path.exists(lm_path):
+                from ..models import onnx_exec, onnxlite
+
+                ga_r = onnx_exec.OnnxRunner(onnxlite.load(ga_path))
+                lm_r = onnx_exec.OnnxRunner(onnxlite.load(lm_path))
+
+                def in_size(r, default):
+                    shp = r.input_shapes[r.input_names[0]]
+                    return int(shp[-1]) if len(shp) == 4 and shp[-1] > 0 \
+                        else default
+
+                self._attr_runners = (ga_r, lm_r)
+                self._attr_sizes = (in_size(ga_r, genderage.INPUT_SIZE),
+                                    in_size(lm_r, landmark106.INPUT_SIZE))
+                self._attr_variables = (ga_r.params, lm_r.params)
+                return self._attr_variables
             self._ga_model = genderage.GenderAge(dtype=jnp.bfloat16
                                                  if self.cfg.dtype == "bfloat16"
                                                  else jnp.float32)
@@ -353,23 +450,48 @@ class FaceEngine:
         return self._attr_variables
 
     def _attributes_impl(self, ga_vars, lm_vars, frames_u8, frame_idx, bboxes):
-        """Gender/age + 106 landmarks for M boxes (native frame coords)."""
+        """Gender/age + 106 landmarks for M boxes (native frame coords).
+
+        Crop geometry is the reference's: a square window centered on the
+        bbox covering max(w, h) * 1.5, resampled to the head's input size
+        (insightface Attribute.get / Landmark.get); outputs decode as
+        gender = argmax(out[:2]), age = round(out[2] * 100), landmarks =
+        (out + 1) * size/2 mapped back through the crop affine.
+        """
         from ..models import genderage, landmark106
         from ..ops.warp2pass import boxes_to_affines, warp_boxes_two_pass
 
-        ga_crops = warp_boxes_two_pass(frames_u8, frame_idx, bboxes,
-                                       genderage.INPUT_SIZE, scale_factor=1.5)
-        ga_out = self._ga_model.apply(ga_vars, genderage.preprocess(ga_crops))
+        if self._attr_runners is not None:
+            ga_r, lm_r = self._attr_runners
+            ga_size, lm_size = self._attr_sizes
+            # exact-graph path: NCHW RGB blobs, mean 0 / std 1 (the
+            # insightface blobFromImage settings for these two heads)
+            ga_crops = warp_boxes_two_pass(frames_u8, frame_idx, bboxes,
+                                           ga_size, scale_factor=1.5)
+            ga_out = ga_r.apply(ga_vars,
+                                jnp.transpose(ga_crops, (0, 3, 1, 2)))[0]
+            lm_crops = warp_boxes_two_pass(frames_u8, frame_idx, bboxes,
+                                           lm_size, scale_factor=1.5)
+            lm = lm_r.apply(lm_vars,
+                            jnp.transpose(lm_crops, (0, 3, 1, 2)))[0]
+            lm = lm.reshape(lm.shape[0], -1, 2)
+        else:
+            ga_size = genderage.INPUT_SIZE
+            lm_size = landmark106.INPUT_SIZE
+            ga_crops = warp_boxes_two_pass(frames_u8, frame_idx, bboxes,
+                                           ga_size, scale_factor=1.5)
+            ga_out = self._ga_model.apply(ga_vars,
+                                          genderage.preprocess(ga_crops))
+            lm_crops = warp_boxes_two_pass(frames_u8, frame_idx, bboxes,
+                                           lm_size, scale_factor=1.5)
+            lm = self._lm_model.apply(lm_vars, genderage.preprocess(lm_crops))
+
         gender = jnp.argmax(ga_out[:, :2], axis=1)
         age = jnp.round(ga_out[:, 2] * 100.0)
-
-        lm_crops = warp_boxes_two_pass(frames_u8, frame_idx, bboxes,
-                                       landmark106.INPUT_SIZE, scale_factor=1.5)
-        lm = self._lm_model.apply(lm_vars, genderage.preprocess(lm_crops))
         # crop-normalized [-1, 1] -> crop pixels -> native frame coords
-        half = landmark106.INPUT_SIZE / 2.0
+        half = lm_size / 2.0
         lm_px = (lm + 1.0) * half
-        m_inv = boxes_to_affines(bboxes, landmark106.INPUT_SIZE, 1.5)
+        m_inv = boxes_to_affines(bboxes, lm_size, 1.5)
         rot = m_inv[:, :, :2]  # [M, 2, 2]
         trans = m_inv[:, :, 2]  # [M, 2]
         lm_src = jnp.einsum("mij,mkj->mki", rot, lm_px) + trans[:, None, :]
@@ -439,6 +561,49 @@ class FaceEngine:
         """Fully-fused fixed-capacity variant (benchmark / compile-check)."""
         return self._fused_jit(
             self.det_variables, self.rec_variables, jnp.asarray(frames_u8),
+            jnp.float32(det_threshold),
+        )
+
+    @staticmethod
+    def pack_frames(frames_u8) -> np.ndarray:
+        """Host-side s2d4 pack: [B, H, W, C] u8 -> [B, H/4, W/4, 16C].
+
+        Same bytes the native letterbox (native/imagecodec.letterbox_s2d4)
+        emits directly while letterboxing — this numpy fallback exists for
+        tests and sources that already hold raw canvases.
+        """
+        f = np.asarray(frames_u8)
+        b, h, w, c = f.shape
+        return np.ascontiguousarray(
+            f.reshape(b, h // 4, 4, w // 4, 4, c).transpose(0, 1, 3, 2, 4, 5)
+        ).reshape(b, h // 4, w // 4, 16 * c)
+
+    def detect_align_embed_yuv420(self, frames_y24_u8,
+                                  det_threshold: float = 0.3):
+        """Fused program on packed-YUV420 frames [B, H/4, W/4, 24] — the
+        streaming wire format (native letterbox_yuv420_s2d4 emits it at
+        1.5 B/px, HALF of RGB).  Same outputs as detect_align_embed up to
+        4:2:0 chroma subsampling of the input pixels."""
+        if "stem_pallas" not in self.det_variables:
+            raise ValueError(
+                "yuv420 input needs the fused-stem weights (detector built "
+                "without batch_stats?)")
+        return self._fused_yuv_jit(
+            self.det_variables, self.rec_variables,
+            jnp.asarray(frames_y24_u8), jnp.float32(det_threshold),
+        )
+
+    def detect_align_embed_packed(self, frames_p4_u8, det_threshold: float = 0.3):
+        """Fused program on s2d4-packed u8 frames [B, H/4, W/4, 48] — the
+        production serving contract (hosts pack for free at letterbox
+        time; the fused Pallas stem then runs without any on-device
+        relayout).  Same outputs as detect_align_embed."""
+        if "stem_pallas" not in self.det_variables:
+            raise ValueError(
+                "packed input needs the fused-stem weights (detector built "
+                "without batch_stats?)")
+        return self._fused_packed_jit(
+            self.det_variables, self.rec_variables, jnp.asarray(frames_p4_u8),
             jnp.float32(det_threshold),
         )
 

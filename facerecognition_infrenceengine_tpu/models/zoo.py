@@ -88,18 +88,11 @@ class FaceAnalysis:
         faces_batch = self.get_batch([frame], max_num=max_num)
         return faces_batch[0]
 
-    def _get_batch_fused(self, engine, stacked, scales,
-                         max_num: int) -> list:
-        """One detect+align+embed program, one pixel upload (scale==1 only)."""
-        boxes, det_scores, kps, valid, emb = engine.detect_align_embed(
-            stacked, det_threshold=self.det_thresh)
-        boxes = np.asarray(boxes)
-        det_scores = np.asarray(det_scores)
-        kps = np.asarray(kps)
-        valid = np.asarray(valid)
-        emb = np.asarray(emb)
+    @staticmethod
+    def _faces_from_fused(outputs, n: int, max_num: int) -> list:
+        boxes, det_scores, kps, valid, emb = (np.asarray(o) for o in outputs)
         per_frame = []
-        for b in range(len(scales)):
+        for b in range(n):
             faces = []
             for f in range(valid.shape[1]):
                 if not valid[b, f]:
@@ -111,10 +104,113 @@ class FaceAnalysis:
             if max_num:
                 faces = faces[:max_num]
             per_frame.append(faces)
+        return per_frame
+
+    def _get_batch_fused(self, engine, stacked, scales,
+                         max_num: int) -> list:
+        """One detect+align+embed program, one pixel upload (scale==1 only)."""
+        outputs = engine.detect_align_embed(
+            stacked, det_threshold=self.det_thresh)
+        per_frame = self._faces_from_fused(outputs, len(scales), max_num)
         if ("genderage" in self.allowed_modules
                 or "landmark_2d_106" in self.allowed_modules):
             self._attach_attributes(engine, stacked, per_frame)
         return per_frame
+
+    # ---------------------------------------------------- yuv420 transport
+    def _yuv_eligible(self, engine, frames) -> bool:
+        """Half-byte transport path: fused embed serving at scale==1.0 (the
+        640x480-camera case), attributes off (they crop raw canvases)."""
+        if (self.cfg.stream_transport != "yuv420"
+                or "recognition" not in self.allowed_modules
+                or "genderage" in self.allowed_modules
+                or "landmark_2d_106" in self.allowed_modules
+                or "stem_pallas" not in engine.det_variables):
+            return False
+        dh, dw = self.cfg.det_size
+        # scale must be exactly 1.0 (canvas == native coords, same condition
+        # as the rgb fused path)
+        return all(
+            (f.ndim == 3 and f.shape[-1] == 24)  # already encoded
+            or min(dh / f.shape[0], dw / f.shape[1]) == 1.0
+            for f in frames)
+
+    def encode_frame(self, frame_bgr: np.ndarray) -> np.ndarray:
+        """Encode one camera frame into the configured wire format on the
+        CAPTURE thread (ctypes releases the GIL, so N cameras pack in
+        parallel), so the dispatch thread ships 1.5 B/px instead of 3.
+        Returns the frame unchanged for the rgb transport."""
+        if self.cfg.stream_transport != "yuv420":
+            return frame_bgr
+        from .. import native
+
+        dh, dw = self.cfg.det_size
+        rgb = np.ascontiguousarray(frame_bgr[..., ::-1])
+        packed, scale = native.letterbox_yuv420_s2d4(rgb, dh, dw)
+        if scale != 1.0:
+            return frame_bgr  # upscaled letterbox: keep the exact rgb path
+        return packed
+
+    def _get_batch_fused_yuv(self, engine, frames, max_num: int) -> list:
+        from ..engine.pipeline import bucket
+
+        dh, dw = self.cfg.det_size
+        packs = [f if f.shape[-1] == 24 else self.encode_frame(f)
+                 for f in frames]
+        nb = bucket(len(packs))
+        stacked = np.zeros((nb, dh // 4, dw // 4, 24), np.uint8)
+        for i, p in enumerate(packs):
+            stacked[i] = p
+        outputs = engine.detect_align_embed_yuv420(
+            stacked, det_threshold=self.det_thresh)
+        return self._faces_from_fused(outputs, len(frames), max_num)
+
+    def get_batch_async(self, frames: list, max_num: int = 0):
+        """Dispatch a batch WITHOUT blocking on device results.
+
+        Returns ``resolve() -> list[list[Face]]``.  JAX dispatch is async,
+        so the caller (engine/microbatch.py) can prep + upload the NEXT
+        batch while the device chews on this one (double-buffering: the
+        host->device transfer — the streaming bottleneck — overlaps device
+        compute instead of serializing with it).  Falls back to synchronous
+        evaluation for the non-fused paths."""
+        if not frames:
+            return lambda: []
+        engine = self._ensure_engine()
+        if self._yuv_eligible(engine, frames):
+            dh, dw = self.cfg.det_size
+            from ..engine.pipeline import bucket
+
+            packs = [f if f.shape[-1] == 24 else self.encode_frame(f)
+                     for f in frames]
+            nb = bucket(len(packs))
+            stacked = np.zeros((nb, dh // 4, dw // 4, 24), np.uint8)
+            for i, p in enumerate(packs):
+                stacked[i] = p
+            outputs = engine.detect_align_embed_yuv420(
+                stacked, det_threshold=self.det_thresh)
+            n = len(frames)
+            return lambda: self._faces_from_fused(outputs, n, max_num)
+        want_embed = "recognition" in self.allowed_modules
+        want_attrs = ("genderage" in self.allowed_modules
+                      or "landmark_2d_106" in self.allowed_modules)
+        dh, dw = self.cfg.det_size
+        if (want_embed and not want_attrs
+                and all(min(dh / f.shape[0], dw / f.shape[1]) == 1.0
+                        for f in frames)):
+            from ..engine.pipeline import bucket
+
+            nb = bucket(len(frames))
+            stacked = np.zeros((nb, dh, dw, 3), np.uint8)
+            for i, f in enumerate(frames):
+                canvas, _ = letterbox(f[..., ::-1], self.cfg.det_size)
+                stacked[i] = canvas
+            outputs = engine.detect_align_embed(
+                stacked, det_threshold=self.det_thresh)
+            n = len(frames)
+            return lambda: self._faces_from_fused(outputs, n, max_num)
+        results = self.get_batch(frames, max_num=max_num)
+        return lambda: results
 
     def _attach_attributes(self, engine, batch, per_frame):
         flat_faces = [face for faces in per_frame for face in faces]
@@ -138,6 +234,8 @@ class FaceAnalysis:
         if not frames:
             return []
         engine = self._ensure_engine()
+        if self._yuv_eligible(engine, frames):
+            return self._get_batch_fused_yuv(engine, frames, max_num)
         canvases = []
         scales = []
         rgb_frames = []

@@ -89,6 +89,20 @@ def _get_lib():
         lib.fre_letterbox.argtypes = [
             c_u8p, ctypes.c_int, ctypes.c_int, c_u8p, ctypes.c_int,
             ctypes.c_int]
+        lib.fre_letterbox_s2d4.restype = ctypes.c_float
+        lib.fre_letterbox_s2d4.argtypes = [
+            c_u8p, ctypes.c_int, ctypes.c_int, c_u8p, ctypes.c_int,
+            ctypes.c_int]
+        lib.fre_pack_s2d4.restype = ctypes.c_int
+        lib.fre_pack_s2d4.argtypes = [
+            c_u8p, ctypes.c_int, ctypes.c_int, c_u8p]
+        lib.fre_pack_yuv420_s2d4.restype = ctypes.c_int
+        lib.fre_pack_yuv420_s2d4.argtypes = [
+            c_u8p, ctypes.c_int, ctypes.c_int, c_u8p]
+        lib.fre_letterbox_yuv420_s2d4.restype = ctypes.c_float
+        lib.fre_letterbox_yuv420_s2d4.argtypes = [
+            c_u8p, ctypes.c_int, ctypes.c_int, c_u8p, ctypes.c_int,
+            ctypes.c_int]
         lib.fre_fill_rect.restype = None
         lib.fre_fill_rect.argtypes = [
             c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -232,6 +246,100 @@ def letterbox(img: np.ndarray, oh: int, ow: int):
     canvas = np.zeros((oh, ow, 3), np.uint8)
     canvas[:nh, :nw] = resize_bilinear(img, nh, nw)
     return canvas, float(scale)
+
+
+def pack_s2d4(img: np.ndarray) -> np.ndarray:
+    """[H, W, 3] u8 raw canvas -> [H/4, W/4, 48] s2d4-packed (channel
+    (p*4+q)*3+c = raw pixel (4Y+p, 4X+q)) — the fused-stem input layout."""
+    img = _check_img(np.ascontiguousarray(img))
+    h, w = img.shape[:2]
+    if h % 4 or w % 4:
+        raise ValueError(f"H, W must be multiples of 4, got {h}x{w}")
+    lib = _get_lib()
+    if lib is not None:
+        out = np.empty((h // 4, w // 4, 48), np.uint8)
+        if lib.fre_pack_s2d4(_ptr(img), h, w, _ptr(out)) == 0:
+            return out
+    return np.ascontiguousarray(
+        img.reshape(h // 4, 4, w // 4, 4, 3).transpose(0, 2, 1, 3, 4)
+    ).reshape(h // 4, w // 4, 48)
+
+
+def letterbox_s2d4(img: np.ndarray, oh: int, ow: int):
+    """Letterbox straight into s2d4-packed layout [oh/4, ow/4, 48].
+
+    Identical letterbox semantics to :func:`letterbox`; the packed
+    permutation is applied at pixel-writing time by the native code (free),
+    so the TPU's fused detector stem (ops/stem_pallas.py) gets its input
+    layout without any on-device transpose.  -> (packed, scale)
+    """
+    img = _check_img(np.ascontiguousarray(img))
+    if oh % 4 or ow % 4:
+        raise ValueError(f"canvas must be multiple of 4, got {oh}x{ow}")
+    lib = _get_lib()
+    if lib is not None:
+        out = np.empty((oh // 4, ow // 4, 48), np.uint8)
+        scale = lib.fre_letterbox_s2d4(_ptr(img), img.shape[0], img.shape[1],
+                                       _ptr(out), oh, ow)
+        if scale > 0:
+            return out, float(scale)
+    canvas, scale = letterbox(img, oh, ow)
+    return pack_s2d4(canvas), scale
+
+
+def pack_yuv420_s2d4(img: np.ndarray) -> np.ndarray:
+    """[H, W, 3] RGB u8 -> [H/4, W/4, 24] packed 4:2:0 YUV (s2d4 layout):
+    ch 0-15 = Y phases (p*4+q), ch 16-19 = U of chroma block (p2*2+q2),
+    ch 20-23 = V.  BT.601 full-range.  1.5 B/px — HALF the host->device
+    bytes of RGB; ops/yuv.py undoes it on device with one constant matmul.
+    """
+    img = _check_img(np.ascontiguousarray(img))
+    h, w = img.shape[:2]
+    if h % 4 or w % 4:
+        raise ValueError(f"H, W must be multiples of 4, got {h}x{w}")
+    lib = _get_lib()
+    if lib is not None:
+        out = np.empty((h // 4, w // 4, 24), np.uint8)
+        if lib.fre_pack_yuv420_s2d4(_ptr(img), h, w, _ptr(out)) == 0:
+            return out
+    # numpy fallback (bit-identical: same rounding)
+    f = img.astype(np.float32)
+    y = f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+    yp = np.floor(y + 0.5).astype(np.uint8)
+    blk = f.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+    u = (-0.168736 * blk[..., 0] - 0.331264 * blk[..., 1]
+         + 0.5 * blk[..., 2] + 128.0)
+    v = (0.5 * blk[..., 0] - 0.418688 * blk[..., 1]
+         - 0.081312 * blk[..., 2] + 128.0)
+    u8 = np.floor(np.clip(u, 0, 255) + 0.5).astype(np.uint8)
+    v8 = np.floor(np.clip(v, 0, 255) + 0.5).astype(np.uint8)
+    out = np.empty((h // 4, w // 4, 24), np.uint8)
+    out[..., :16] = yp.reshape(h // 4, 4, w // 4, 4).transpose(
+        0, 2, 1, 3).reshape(h // 4, w // 4, 16)
+    out[..., 16:20] = u8.reshape(h // 4, 2, w // 4, 2).transpose(
+        0, 2, 1, 3).reshape(h // 4, w // 4, 4)
+    out[..., 20:24] = v8.reshape(h // 4, 2, w // 4, 2).transpose(
+        0, 2, 1, 3).reshape(h // 4, w // 4, 4)
+    return out
+
+
+def letterbox_yuv420_s2d4(img: np.ndarray, oh: int, ow: int):
+    """Letterbox an RGB frame straight into packed-YUV420 s2d4
+    [oh/4, ow/4, 24].  -> (packed, scale).  Same letterbox semantics as
+    :func:`letterbox`; this is the streaming transport encoder
+    (engine.detect_align_embed_yuv420 is the matching device program)."""
+    img = _check_img(np.ascontiguousarray(img))
+    if oh % 4 or ow % 4:
+        raise ValueError(f"canvas must be multiple of 4, got {oh}x{ow}")
+    lib = _get_lib()
+    if lib is not None:
+        out = np.empty((oh // 4, ow // 4, 24), np.uint8)
+        scale = lib.fre_letterbox_yuv420_s2d4(
+            _ptr(img), img.shape[0], img.shape[1], _ptr(out), oh, ow)
+        if scale > 0:
+            return out, float(scale)
+    canvas, scale = letterbox(img, oh, ow)
+    return pack_yuv420_s2d4(canvas), scale
 
 
 # -------------------------------------------------------------- rasterizer

@@ -169,6 +169,136 @@ float fre_letterbox(const uint8_t* src, int h, int w, uint8_t* dst, int oh,
   return scale;
 }
 
+// Letterbox directly into s2d4-packed layout [OH/4, OW/4, 48]: packed
+// channel (p*4 + q)*3 + c holds raw canvas pixel (4*Y + p, 4*X + q).  The
+// permutation costs nothing at pixel-writing time, and it is exactly the
+// input layout the fused Pallas detector stem consumes
+// (ops/stem_pallas.py) — emitting it here is what lets the fused stem run
+// end-to-end without any on-device byte transpose.  Bilinear math is
+// identical to fre_resize_bilinear (tests pin letterbox_s2d4 against
+// letterbox + host pack, byte-for-byte).  OH, OW must be multiples of 4.
+float fre_letterbox_s2d4(const uint8_t* src, int h, int w, uint8_t* dst,
+                         int oh, int ow) {
+  if ((oh & 3) || (ow & 3)) return -1.0f;
+  const float scale = (static_cast<float>(oh) / h < static_cast<float>(ow) / w)
+                          ? static_cast<float>(oh) / h
+                          : static_cast<float>(ow) / w;
+  int nh = static_cast<int>(h * scale + 0.5f);
+  int nw = static_cast<int>(w * scale + 0.5f);
+  if (nh > oh) nh = oh;
+  if (nw > ow) nw = ow;
+  memset(dst, 0, static_cast<long>(oh) * ow * 3);
+  const int wp = ow / 4;
+  const float sy = static_cast<float>(h) / nh;
+  const float sx = static_cast<float>(w) / nw;
+  for (int y = 0; y < nh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = static_cast<int>(fy);
+    if (y0 > h - 2) y0 = h - 2 >= 0 ? h - 2 : 0;
+    float wy = fy - y0;
+    if (h == 1) { y0 = 0; wy = 0; }
+    const uint8_t* r0 = src + static_cast<long>(y0) * w * 3;
+    const uint8_t* r1 = src + static_cast<long>(h == 1 ? y0 : y0 + 1) * w * 3;
+    uint8_t* prow = dst + (static_cast<long>(y >> 2) * wp) * 48 + (y & 3) * 12;
+    for (int x = 0; x < nw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      if (fx < 0) fx = 0;
+      int x0 = static_cast<int>(fx);
+      if (x0 > w - 2) x0 = w - 2 >= 0 ? w - 2 : 0;
+      float wx = fx - x0;
+      if (w == 1) { x0 = 0; wx = 0; }
+      const int x1 = (w == 1) ? x0 : x0 + 1;
+      uint8_t* px = prow + static_cast<long>(x >> 2) * 48 + (x & 3) * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float top = r0[x0 * 3 + c] * (1 - wx) + r0[x1 * 3 + c] * wx;
+        const float bot = r1[x0 * 3 + c] * (1 - wx) + r1[x1 * 3 + c] * wx;
+        const float v = top * (1 - wy) + bot * wy;
+        px[c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+  return scale;
+}
+
+// RGB canvas [H, W, 3] -> packed 4:2:0 YUV in s2d4 layout [H/4, W/4, 24]:
+// channels 0-15  = Y of raw pixel (4Y+p, 4X+q) at channel p*4+q,
+// channels 16-19 = U of the 2x2 chroma block (2*(2Y+p2), 2*(2X+q2)) at
+//                  channel 16 + p2*2 + q2 (average of the block's 4 pixels),
+// channels 20-23 = V likewise.  BT.601 full-range (JPEG) coefficients.
+// 1.5 bytes/pixel: HALF the host->device bytes of raw RGB — the streaming
+// serving path's bottleneck is the transfer link (BENCH_r02: 20 MB/s tunnel
+// / 1.2 MB frame), and the device undoes this packing with one constant
+// 24->48 matmul (ops/yuv.py) feeding the fused packed program.
+int fre_pack_yuv420_s2d4(const uint8_t* src, int h, int w, uint8_t* dst) {
+  if ((h & 3) || (w & 3)) return -1;
+  const int wp = w / 4;
+  for (int yp = 0; yp < h / 4; ++yp) {
+    uint8_t* out = dst + static_cast<long>(yp) * wp * 24;
+    for (int xp = 0; xp < wp; ++xp, out += 24) {
+      const uint8_t* base = src + (static_cast<long>(yp) * 4 * w + xp * 4) * 3;
+      for (int p = 0; p < 4; ++p) {
+        const uint8_t* row = base + static_cast<long>(p) * w * 3;
+        for (int q = 0; q < 4; ++q) {
+          const float r = row[q * 3], g = row[q * 3 + 1], b = row[q * 3 + 2];
+          out[p * 4 + q] = static_cast<uint8_t>(
+              0.299f * r + 0.587f * g + 0.114f * b + 0.5f);
+        }
+      }
+      for (int p2 = 0; p2 < 2; ++p2) {
+        for (int q2 = 0; q2 < 2; ++q2) {
+          float rs = 0, gs = 0, bs = 0;
+          for (int dy = 0; dy < 2; ++dy) {
+            const uint8_t* row =
+                base + (static_cast<long>(p2) * 2 + dy) * w * 3 + q2 * 6;
+            for (int dx = 0; dx < 2; ++dx) {
+              rs += row[dx * 3];
+              gs += row[dx * 3 + 1];
+              bs += row[dx * 3 + 2];
+            }
+          }
+          rs *= 0.25f; gs *= 0.25f; bs *= 0.25f;
+          float u = -0.168736f * rs - 0.331264f * gs + 0.5f * bs + 128.0f;
+          float v = 0.5f * rs - 0.418688f * gs - 0.081312f * bs + 128.0f;
+          if (u < 0) u = 0; if (u > 255) u = 255;
+          if (v < 0) v = 0; if (v > 255) v = 255;
+          out[16 + p2 * 2 + q2] = static_cast<uint8_t>(u + 0.5f);
+          out[20 + p2 * 2 + q2] = static_cast<uint8_t>(v + 0.5f);
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+// Letterbox an RGB frame straight into packed-YUV420 s2d4 [OH/4, OW/4, 24].
+float fre_letterbox_yuv420_s2d4(const uint8_t* src, int h, int w,
+                                uint8_t* dst, int oh, int ow) {
+  if ((oh & 3) || (ow & 3)) return -1.0f;
+  uint8_t* canvas =
+      static_cast<uint8_t*>(malloc(static_cast<long>(oh) * ow * 3));
+  if (!canvas) return -1.0f;
+  const float scale = fre_letterbox(src, h, w, canvas, oh, ow);
+  if (scale > 0) fre_pack_yuv420_s2d4(canvas, oh, ow, dst);
+  free(canvas);
+  return scale;
+}
+
+// Repack an already-letterboxed raw canvas [H, W, 3] into s2d4 [H/4, W/4,
+// 48] (sources that hand us raw canvases; same layout as above).
+int fre_pack_s2d4(const uint8_t* src, int h, int w, uint8_t* dst) {
+  if ((h & 3) || (w & 3)) return -1;
+  const int wp = w / 4;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* srow = src + static_cast<long>(y) * w * 3;
+    uint8_t* prow = dst + (static_cast<long>(y >> 2) * wp) * 48 + (y & 3) * 12;
+    for (int xp = 0; xp < wp; ++xp) {
+      memcpy(prow + static_cast<long>(xp) * 48, srow + xp * 12, 12);
+    }
+  }
+  return 0;
+}
+
 // ------------------------------------------------------------ rasterizer --
 static inline void blend_px(uint8_t* p, uint8_t r, uint8_t g, uint8_t b,
                             float a) {

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .align import ARCFACE_DST, umeyama_similarity, _invert_affine
 
@@ -59,13 +60,18 @@ def build_atlas(frames: jnp.ndarray, levels: int = 4):
     if frames.dtype == jnp.uint8:
         x = frames
         pyr = [x]
-        acc = x.astype(jnp.int32)
+        # Stride-2 sum as a conv with a constant identity kernel: the
+        # int32 reshape-sum formulation measured ~1.7 ms/B=8 on v5e
+        # (integer/lane-padded relayout); the f32 conv is bandwidth-speed
+        # and bit-exact (integer sums < 2**24, power-of-two rounding).
+        eye = jnp.asarray(np.tile(np.eye(c, dtype=np.float32)[None, None],
+                                  (2, 2, 1, 1)))
+        acc = x.astype(jnp.float32)
         for lvl in range(1, levels):
-            bb, h, w, _ = acc.shape
-            acc = acc.reshape(bb, h // 2, 2, w // 2, 2, c).sum(axis=(2, 4))
-            # acc holds 4**lvl-pixel sums; round-half-up to u8 per level
-            denom = 4 ** lvl
-            pyr.append(((acc + denom // 2) // denom).astype(jnp.uint8))
+            acc = jax.lax.conv_general_dilated(
+                acc, eye, (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            pyr.append(jnp.floor(acc / (4 ** lvl) + 0.5).astype(jnp.uint8))
     else:
         x = frames.astype(jnp.float32)
         pyr = [x]
@@ -226,6 +232,236 @@ def extract_rois_from_affines(
         return roi, m_sel
 
     return jax.vmap(one)(frame_idx, m_inv_batch)
+
+
+# ---------------------------------------------------------------------------
+# Packed-4 (space-to-depth) variants.
+#
+# The fused Pallas stem (ops/stem_pallas.py) wants its input in s2d4 layout
+# [B, H/4, W/4, 48] — a permutation the native letterbox emits for free at
+# pixel-writing time, but which XLA's u8 transpose pays ~1.1 ms/B=8 to undo.
+# Round 2's measured blocker for running the fused stem end-to-end was that
+# THIS module's atlas sampled raw-layout pixels, forcing raw frames into the
+# fused program.  The variants below consume the packed layout directly:
+#
+# - build_atlas_packed keeps every pyramid level in packed-4 layout (the
+#   2x2 pool becomes a fixed phase-regrouping of 4x-smaller arrays), with
+#   int32 accumulation + round-half-up per level, so each level's bytes are
+#   BIT-IDENTICAL to build_atlas's raw levels, just permuted.
+# - extract_rois_packed slices [ROI/4, ROI/4, 48] packed windows (origins
+#   quantized to packed pixels; the dst->ROI affine absorbs the shift).
+# - _warp_one_from_packed_roi evaluates the SAME two-pass hat-weight
+#   contraction with batch dims (yp, p) and contraction dims (jp, q): the
+#   "unpack" is pure index bookkeeping inside one dot_general — no byte
+#   transpose is ever materialized.
+# ---------------------------------------------------------------------------
+
+HALO_P = 6.0  # packed variant: bilinear tap (1) + packed-origin rounding
+              # (ROI origins quantize to 4-pixel grid: 2) + extra slack
+
+
+def space_to_depth4(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/4, W/4, 16C], channel = (p*4 + q)*C + c
+    (the s2d4 layout the native letterbox emits; ops/stem_pallas.py)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 4, 4, w // 4, 4, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 4, w // 4, 16 * c)
+
+
+def _edge_pad_packed(p: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
+    """Border-replicate a packed-4 image [B, Hp, Wp, 16C] in RAW pixel
+    semantics: the pad pixel's q-phases all equal the last raw column
+    (phase q=3 of the last packed column), ditto rows with p=3."""
+    b, hp, wp, c16 = p.shape
+    c = c16 // 16
+    if pad_w:
+        last = p[:, :, -1:, :].reshape(b, hp, 1, 4, 4, c)
+        rep = jnp.broadcast_to(last[:, :, :, :, 3:4, :], (b, hp, 1, 4, 4, c))
+        rep = rep.reshape(b, hp, 1, c16)
+        p = jnp.concatenate([p, jnp.broadcast_to(rep, (b, hp, pad_w, c16))],
+                            axis=2)
+    if pad_h:
+        wp2 = p.shape[2]
+        last = p[:, -1:, :, :].reshape(b, 1, wp2, 4, 4, c)
+        rep = jnp.broadcast_to(last[:, :, :, 3:4, :, :], (b, 1, wp2, 4, 4, c))
+        rep = rep.reshape(b, 1, wp2, c16)
+        p = jnp.concatenate([p, jnp.broadcast_to(rep, (b, pad_h, wp2, c16))],
+                            axis=1)
+    return p
+
+
+def build_atlas_packed(frames_p4: jnp.ndarray, levels: int = 4):
+    """Pyramid atlas from s2d4-packed frames, all levels packed-4.
+
+    frames_p4: [B, H/4, W/4, 16C] (uint8 camera path or float), channel
+    = (p*4 + q)*C + c.  Levels accumulate int32 sums from the ORIGINAL
+    pixels with one round-half-up per level — bit-identical bytes to
+    build_atlas's u8 levels, permuted into packed layout.  The 2x2 raw
+    pool is a fixed phase regrouping: output phase p' = 2u + w reads
+    input packed row 2Y'+u phases 2w+{0,1}.
+
+    Returns (atlas [B, Ha, Wa, 16C], offsets: list of (x_off, lw, lh) in
+    PACKED units).
+    """
+    b, h4, w4, c16 = frames_p4.shape
+    c = c16 // 16
+    proi = ROI // 4
+    is_u8 = frames_p4.dtype == jnp.uint8
+    # The 2x2 raw pool in packed layout is a fixed phase regroup: output
+    # phase (p'=2u+w, q'=2v+s) sums input pixel (2Y'+u, 2X'+v) phases
+    # (2w+{0,1}, 2s+{0,1}).  Expressed as reshape+transpose this measured
+    # 3.2 ms/B=8 on v5e (byte-granular relayout); as a stride-2 conv with
+    # a constant 0/1 phase-mix matrix it is 0.03 ms — the MXU does the
+    # channel regroup for free.  f32 keeps it bit-exact: sums of 4**3
+    # u8 values stay integers < 2**24, and the per-level round-half-up
+    # (floor(acc/4**l + 0.5)) is exact on power-of-two divisors.
+    mix = np.zeros((2, 2, c16, c16), np.float32)
+    for u in range(2):
+        for v in range(2):
+            for w in range(2):
+                for s in range(2):
+                    for b2 in range(2):
+                        for t in range(2):
+                            po = (2 * u + w) * 4 + (2 * v + s)
+                            pi = (2 * w + b2) * 4 + (2 * s + t)
+                            for ch in range(c):
+                                mix[u, v, pi * c + ch, po * c + ch] = 1.0
+    mix = jnp.asarray(mix)
+    pyr = [frames_p4]
+    acc = frames_p4.astype(jnp.float32)
+    for lvl in range(1, levels):
+        acc = jax.lax.conv_general_dilated(
+            acc, mix, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if is_u8:
+            pyr.append(jnp.floor(acc / (4 ** lvl) + 0.5).astype(jnp.uint8))
+        else:
+            pyr.append(acc / (4.0 ** lvl))
+    h_a = max(max(p.shape[1] for p in pyr), proi)
+    cols, offsets = [], []
+    x_off = 0
+    for p in pyr:
+        _, lh, lw, _ = p.shape
+        p = _edge_pad_packed(p, max(proi - lh, 0), max(proi - lw, 0))
+        pad_h_zero = h_a - p.shape[1]
+        if pad_h_zero:
+            p = jnp.pad(p, ((0, 0), (0, pad_h_zero), (0, 0), (0, 0)))
+        cols.append(p)
+        offsets.append((x_off, max(lw, proi), max(lh, proi)))
+        x_off += p.shape[2]
+    return jnp.concatenate(cols, axis=2), offsets
+
+
+def extract_rois_packed(
+    frames_p4: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    m_inv_batch: jnp.ndarray,
+    out_size: int,
+    levels: int = 4,
+):
+    """extract_rois_from_affines on an s2d4-packed frame batch.
+
+    Affines are in RAW frame coordinates (same contract); ROI origins
+    quantize to the packed grid and the returned per-face affine absorbs
+    the shift.  Returns (rois [M, ROI/4, ROI/4, 16C] in the input dtype,
+    mats [M, 2, 3] mapping dst -> level-raw ROI coords).
+    """
+    atlas, offsets = build_atlas_packed(frames_p4, levels)
+    c16 = frames_p4.shape[-1]
+    proi = ROI // 4
+    x_offs = jnp.asarray([o[0] for o in offsets], jnp.int32)
+    lws = jnp.asarray([o[1] for o in offsets], jnp.int32)
+    lhs_ = jnp.asarray([o[2] for o in offsets], jnp.int32)
+
+    def one(fidx, m_inv):
+        span_x = (jnp.abs(m_inv[0, 0]) + jnp.abs(m_inv[0, 1])) * out_size + HALO_P
+        span_y = (jnp.abs(m_inv[1, 0]) + jnp.abs(m_inv[1, 1])) * out_size + HALO_P
+        span = jnp.maximum(span_x, span_y)
+        lvl_f = jnp.ceil(jnp.log2(jnp.maximum(span / ROI, 1.0)))
+        lvl = jnp.clip(lvl_f.astype(jnp.int32), 0, levels - 1)
+
+        cx = m_inv[0, 0] * (out_size / 2) + m_inv[0, 1] * (out_size / 2) + m_inv[0, 2]
+        cy = m_inv[1, 0] * (out_size / 2) + m_inv[1, 1] * (out_size / 2) + m_inv[1, 2]
+
+        s = jnp.exp2(lvl.astype(jnp.float32))
+        shift = (s - 1.0) / 2.0
+        # Level-coord ROI origin, quantized to packed pixels (grid of 4):
+        # |4*x0p - ideal| <= 2, covered by HALO_P.
+        x0p = jnp.clip(
+            jnp.round(((cx - shift) / s - ROI / 2) / 4.0).astype(jnp.int32),
+            0, lws[lvl] - proi)
+        y0p = jnp.clip(
+            jnp.round(((cy - shift) / s - ROI / 2) / 4.0).astype(jnp.int32),
+            0, lhs_[lvl] - proi)
+        roi = jax.lax.dynamic_slice(
+            atlas, (fidx, y0p, x_offs[lvl] + x0p, 0),
+            (1, proi, proi, c16))[0]
+        m_sel = jnp.concatenate(
+            [m_inv[:, :2] / s,
+             ((m_inv[:, 2] - shift) / s
+              - 4.0 * jnp.stack([x0p, y0p]).astype(jnp.float32))[:, None]],
+            axis=1)
+        return roi, m_sel
+
+    return jax.vmap(one)(frame_idx, m_inv_batch)
+
+
+def unpack_roi4(roi_p: jnp.ndarray) -> jnp.ndarray:
+    """[PR, PR, 16C] packed-4 ROI -> [4PR, 4PR, C] raw layout.
+
+    Per-face ROIs are tiny (120x120x3 u8 = 42 KB), so the byte transpose
+    that is prohibitive on full frames (~1.1 ms/B=8, the round-2 blocker)
+    is noise here — and XLA can fuse it into the first warp contraction.
+    """
+    pr = roi_p.shape[0]
+    c = roi_p.shape[-1] // 16
+    x = roi_p.reshape(pr, pr, 4, 4, c)        # [yp, jp, p, q, c]
+    x = x.transpose(0, 2, 1, 3, 4)            # [yp, p, jp, q, c]
+    return x.reshape(4 * pr, 4 * pr, c)
+
+
+def _warp_one_from_packed_roi(roi_p: jnp.ndarray, m_inv: jnp.ndarray,
+                              out_size: int) -> jnp.ndarray:
+    """roi_p [PR, PR, 16C] packed-4, m_inv [2, 3] dst -> raw-ROI coords
+    -> [out, out, C].  Unpacks the (small) ROI and runs the identical
+    two-pass hat-weight contraction as the raw path.  (A phase-blocked
+    contraction that consumed the packed layout directly was measured
+    slower: 4 thin per-phase dots starve the MXU, and a single einsum with
+    non-adjacent batch dims lowers through a worse transpose than this
+    explicit tiny one.)"""
+    return _warp_one_from_roi(unpack_roi4(roi_p).astype(jnp.float32), m_inv,
+                              out_size)
+
+
+def warp_faces_two_pass_packed(
+    frames_p4: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    kps: jnp.ndarray,
+    out_size: int = 112,
+    dst: jnp.ndarray | None = None,
+    levels: int = 4,
+) -> jnp.ndarray:
+    """warp_faces_two_pass on s2d4-packed frames [B, H/4, W/4, 16C].
+
+    kps stay in RAW frame coordinates.  Up to the packed ROI-origin
+    quantization (absorbed by the affine; border-clamp behavior can
+    differ only for faces extending outside the frame) this computes the
+    same crops as the raw path — tests/test_ops_warp2pass.py pins the
+    two against each other.
+    """
+    if dst is None:
+        dst = jnp.asarray(ARCFACE_DST) * (out_size / 112.0)
+
+    def kps_to_minv(k):
+        return _invert_affine(umeyama_similarity(k, dst))
+
+    m_inv = jax.vmap(kps_to_minv)(kps)
+    rois, mats = extract_rois_packed(frames_p4, frame_idx, m_inv, out_size,
+                                     levels)
+    return jax.vmap(
+        lambda roi, m_sel: _warp_one_from_packed_roi(roi, m_sel, out_size)
+    )(rois, mats)
 
 
 def boxes_to_affines(bboxes: jnp.ndarray, out_size: int,

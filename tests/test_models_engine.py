@@ -152,3 +152,130 @@ def test_face_analysis_mobile_facenet_pack():
     rng = np.random.default_rng(2)
     faces = app.get(rng.integers(0, 255, (160, 160, 3), dtype=np.uint8))
     assert faces and faces[0].normed_embedding.shape == (512,)
+
+
+def test_engine_fused_packed_matches_raw(engine):
+    """The packed-input fused program (production contract: native letterbox
+    emits s2d4) computes the same detections + embeddings as the raw path."""
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (2, 160, 160, 3), dtype=np.uint8)
+    raw = engine.detect_align_embed(frames, det_threshold=0.0)
+    packed = engine.pack_frames(frames)
+    assert packed.shape == (2, 40, 40, 48)
+    # pack_frames really is s2d4 (phase-major channel order)
+    np.testing.assert_array_equal(packed[0, 0, 0, :3], frames[0, 0, 0])
+    np.testing.assert_array_equal(packed[0, 0, 0, 15 * 3:16 * 3],
+                                  frames[0, 3, 3])
+    got = engine.detect_align_embed_packed(packed, det_threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(raw[3]), np.asarray(got[3]))
+    for a, b, tol in ((raw[0], got[0], 1e-2), (raw[1], got[1], 1e-4),
+                      (raw[2], got[2], 1e-2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+    e1 = np.asarray(raw[4]).reshape(-1, 512)
+    e2 = np.asarray(got[4]).reshape(-1, 512)
+    cos = (e1 * e2).sum(1)
+    assert cos.min() > 0.999, cos
+
+
+def test_engine_attributes_use_exact_onnx_graphs(tmp_path, monkeypatch):
+    """When converted attribute graphs (attr_genderage.onnx /
+    attr_2d106det.onnx, tools/convert_onnx.py) are in the weights dir, the
+    engine executes THEM (models/onnx_exec.py) instead of the synthetic
+    capability-parity heads — the exact-graph path for buffalo_l's
+    gender/age/landmark_2d_106 surface (reference infrenceServer.py:412-416).
+    """
+    torch = pytest.importorskip("torch")
+    from torch import nn
+
+    from test_onnx_exec import export_onnx
+
+    torch.manual_seed(0)
+    ga = nn.Sequential(nn.Conv2d(3, 4, 7, 4, 3), nn.PReLU(4),
+                       nn.AdaptiveAvgPool2d(1), nn.Flatten(), nn.Linear(4, 3))
+    lm = nn.Sequential(nn.Conv2d(3, 4, 7, 4, 3), nn.PReLU(4),
+                       nn.AdaptiveAvgPool2d(1), nn.Flatten(),
+                       nn.Linear(4, 212))
+    (tmp_path / "attr_genderage.onnx").write_bytes(
+        export_onnx(ga, torch.zeros(1, 3, 96, 96)))
+    (tmp_path / "attr_2d106det.onnx").write_bytes(
+        export_onnx(lm, torch.zeros(1, 3, 192, 192)))
+    monkeypatch.setenv("FRE_WEIGHTS_DIR", str(tmp_path))
+
+    eng = FaceEngine(small_cfg(), det_arch="det_500m", rec_arch="r18", seed=0)
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 255, (1, 160, 160, 3), dtype=np.uint8)
+    boxes = np.asarray([[20, 20, 90, 100], [40, 10, 120, 110]], np.float32)
+    gender, age, lms = eng.attributes(frames, np.zeros(2, np.int32), boxes)
+    assert eng._attr_runners is not None, "exact graphs were not picked up"
+    assert eng._attr_sizes == (96, 192)
+    assert gender.shape == (2,) and age.shape == (2,)
+    assert lms.shape == (2, 106, 2)
+    # decode semantics: gender = argmax of the first two outputs; verify
+    # against running the torch graph on the engine's own crop
+    from facerecognition_infrenceengine_tpu.ops.warp2pass import (
+        warp_boxes_two_pass)
+
+    crops = np.asarray(warp_boxes_two_pass(
+        jnp.asarray(frames), jnp.zeros(2, jnp.int32), jnp.asarray(boxes),
+        96, scale_factor=1.5))
+    with torch.no_grad():
+        ref = ga(torch.from_numpy(np.transpose(crops, (0, 3, 1, 2)))).numpy()
+    np.testing.assert_array_equal(gender, np.argmax(ref[:, :2], axis=1))
+    np.testing.assert_allclose(age, np.round(ref[:, 2] * 100.0), atol=1.0)
+
+
+def test_engine_fused_yuv420_close_to_rgb(engine):
+    """The yuv420 wire format (half the bytes) feeds the same fused program
+    through ops/yuv.py's constant-matmul unpack; on smooth imagery the
+    results match the rgb path to chroma-subsampling tolerance."""
+    from facerecognition_infrenceengine_tpu import native
+
+    yy, xx = np.mgrid[0:160, 0:160].astype(np.float32)
+    img = np.clip(np.stack([120 + 70 * np.sin(yy / 23),
+                            110 + 60 * np.cos(xx / 19),
+                            100 + 50 * np.sin((xx + yy) / 31)], -1),
+                  0, 255).astype(np.uint8)
+    frames = img[None]
+    raw = engine.detect_align_embed(frames, det_threshold=0.0)
+    packed = np.stack([native.pack_yuv420_s2d4(f) for f in frames])
+    got = engine.detect_align_embed_yuv420(packed, det_threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(raw[3]), np.asarray(got[3]))
+    np.testing.assert_allclose(np.asarray(raw[1]), np.asarray(got[1]),
+                               atol=0.02)  # det scores
+    e1 = np.asarray(raw[4]).reshape(-1, 512)
+    e2 = np.asarray(got[4]).reshape(-1, 512)
+    cos = (e1 * e2).sum(1)
+    assert cos.min() > 0.98, cos
+
+
+def test_face_analysis_yuv_transport_matches_rgb():
+    """FaceAnalysis with stream_transport=yuv420 takes the packed fast path
+    (encode_frame on the capture side) and finds the same faces."""
+    import dataclasses
+
+    from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
+
+    cfg = dataclasses.replace(small_cfg(), stream_transport="yuv420")
+    app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
+    app.prepare(ctx_id=0, det_thresh=0.0)
+    rng = np.random.default_rng(31)
+    yy, xx = np.mgrid[0:120, 0:160].astype(np.float32)
+    frame_bgr = np.clip(np.stack([120 + 70 * np.sin(yy / 23),
+                                  110 + 60 * np.cos(xx / 19),
+                                  100 + 50 * np.sin((xx + yy) / 31)], -1),
+                        0, 255).astype(np.uint8)
+    engine = app._ensure_engine()
+    assert app._yuv_eligible(engine, [frame_bgr])
+    enc = app.encode_frame(frame_bgr)
+    assert enc.shape == (40, 40, 24)  # 160x160 canvas, packed
+    faces_yuv = app.get_batch([enc])
+    # rgb reference
+    cfg_rgb = small_cfg()
+    app_rgb = FaceAnalysis(cfg=cfg_rgb,
+                           allowed_modules=("detection", "recognition"))
+    app_rgb.prepare(ctx_id=0, det_thresh=0.0)
+    faces_rgb = app_rgb.get_batch([frame_bgr])
+    assert len(faces_yuv[0]) == len(faces_rgb[0])
+    for fy, fr in zip(faces_yuv[0], faces_rgb[0]):
+        cos = float((fy.normed_embedding * fr.normed_embedding).sum())
+        assert cos > 0.98, cos

@@ -137,3 +137,91 @@ def test_decode_cap_applies_to_pil_fallback():
     # 81 MP PNG: over the 64 MP cap, must be rejected on the PIL path too
     Image.new("RGB", (9000, 9000)).save(buf, "PNG")
     assert native.decode_image(buf.getvalue()) is None
+
+
+def test_letterbox_s2d4_matches_letterbox_plus_pack():
+    """Native packed letterbox == letterbox then pack, byte-for-byte."""
+    from facerecognition_infrenceengine_tpu import native
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    canvas, s1 = native.letterbox(img, 256, 320)
+    packed, s2 = native.letterbox_s2d4(img, 256, 320)
+    assert s1 == s2
+    assert packed.shape == (64, 80, 48)
+    np.testing.assert_array_equal(packed, native.pack_s2d4(canvas))
+    # layout spot-check: phase (p, q) of packed pixel (Y, X) is raw (4Y+p, 4X+q)
+    np.testing.assert_array_equal(packed[5, 7, (2 * 4 + 3) * 3:(2 * 4 + 3) * 3 + 3],
+                                  canvas[4 * 5 + 2, 4 * 7 + 3])
+
+
+def test_pack_s2d4_matches_engine_pack_frames():
+    from facerecognition_infrenceengine_tpu import native
+    from facerecognition_infrenceengine_tpu.engine import FaceEngine
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(native.pack_s2d4(img),
+                                  FaceEngine.pack_frames(img[None])[0])
+
+
+def test_pack_yuv420_s2d4_native_matches_reference():
+    """Native C++ YUV420 packer == the numpy reference, byte-for-byte."""
+    from facerecognition_infrenceengine_tpu import native
+    from facerecognition_infrenceengine_tpu.ops.yuv import (
+        rgb_to_yuv420p4_reference)
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    got = native.pack_yuv420_s2d4(img)
+    assert got.shape == (16, 24, 24)
+    ref = rgb_to_yuv420p4_reference(img)
+    # float rounding at the .5 boundary may differ by 1 LSB between the
+    # C++ single-pass math and numpy's double-precision reference
+    assert int(np.abs(got.astype(int) - ref.astype(int)).max()) <= 1
+    # gray image: U = V = 128 exactly, Y = pixel value
+    gray = np.full((8, 8, 3), 77, np.uint8)
+    pg = native.pack_yuv420_s2d4(gray)
+    assert (pg[..., :16] == 77).all()
+    assert (pg[..., 16:] == 128).all()
+
+
+def test_letterbox_yuv420_matches_letterbox_then_pack():
+    from facerecognition_infrenceengine_tpu import native
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    canvas, s1 = native.letterbox(img, 640, 640)
+    packed, s2 = native.letterbox_yuv420_s2d4(img, 640, 640)
+    assert s1 == s2 == 1.0
+    ref = native.pack_yuv420_s2d4(canvas)
+    assert int(np.abs(packed.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_yuv420_device_unpack_roundtrip():
+    """ops/yuv.py device unpack inverts the host packer up to 4:2:0 chroma
+    loss: exact on gray, high-fidelity on smooth imagery."""
+    import jax.numpy as jnp
+
+    from facerecognition_infrenceengine_tpu import native
+    from facerecognition_infrenceengine_tpu.ops.yuv import yuv420p4_to_rgbp4
+
+    gray = np.full((16, 16, 3), 200, np.uint8)
+    rgb48 = np.asarray(yuv420p4_to_rgbp4(
+        jnp.asarray(native.pack_yuv420_s2d4(gray)[None])))[0]
+    assert int(np.abs(rgb48.astype(int) - 200).max()) <= 1
+
+    # smooth synthetic image (faces are smooth; noise is chroma worst-case)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    smooth = np.stack([100 + 80 * np.sin(yy / 17),
+                       120 + 60 * np.cos(xx / 13),
+                       90 + 50 * np.sin((xx + yy) / 23)], -1)
+    img = np.clip(smooth, 0, 255).astype(np.uint8)
+    packed = native.pack_yuv420_s2d4(img)
+    rgb48 = np.asarray(yuv420p4_to_rgbp4(jnp.asarray(packed[None])))[0]
+    # unpack s2d4 -> raw layout for PSNR
+    got = rgb48.reshape(16, 16, 4, 4, 3).transpose(0, 2, 1, 3, 4).reshape(
+        64, 64, 3)
+    mse = float(np.mean((got.astype(np.float32) - img.astype(np.float32)) ** 2))
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 35.0, psnr

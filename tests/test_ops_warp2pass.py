@@ -100,3 +100,75 @@ def test_uint8_input_accepted():
                               jnp.zeros(1, jnp.int32), jnp.asarray(kps)[None])
     assert out.dtype == jnp.float32
     assert float(out.min()) >= 0.0 and float(out.max()) <= 255.0
+
+
+# ------------------------------------------------------------ packed variants
+from facerecognition_infrenceengine_tpu.ops.warp2pass import (  # noqa: E402
+    build_atlas,
+    build_atlas_packed,
+    space_to_depth4,
+    warp_faces_two_pass_packed,
+)
+
+
+def test_packed_atlas_levels_bit_identical():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 128, 192, 3), dtype=np.uint8)
+    atlas_raw, offs_raw = build_atlas(jnp.asarray(frames), levels=4)
+    atlas_p, offs_p = build_atlas_packed(
+        space_to_depth4(jnp.asarray(frames)), levels=4)
+    a_raw = np.asarray(atlas_raw)
+    a_p = np.asarray(atlas_p)
+    for (xo_r, lw_r, lh_r), (xo_p, lw_p, lh_p), lvl in zip(
+            offs_raw, offs_p, range(4)):
+        lh, lw = 128 >> lvl, 192 >> lvl
+        lvl_raw = a_raw[:, :lh, xo_r:xo_r + lw, :]
+        lvl_pck = a_p[:, :lh // 4, xo_p:xo_p + lw // 4, :]
+        np.testing.assert_array_equal(
+            np.asarray(space_to_depth4(jnp.asarray(lvl_raw))), lvl_pck,
+            err_msg=f"level {lvl} content differs")
+
+
+def test_packed_atlas_edge_pad_is_raw_replicate():
+    # a 64x64 frame's coarse levels pad up to ROI; packed replicate must
+    # equal raw replicate in raw-pixel semantics (q phases = last column)
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    atlas_raw, offs_raw = build_atlas(jnp.asarray(frames), levels=2)
+    atlas_p, offs_p = build_atlas_packed(
+        space_to_depth4(jnp.asarray(frames)), levels=2)
+    xo_r, lw_r, lh_r = offs_raw[1]
+    xo_p, lw_p, lh_p = offs_p[1]
+    assert lw_r == ROI and lw_p == ROI // 4
+    lvl_raw = np.asarray(atlas_raw)[:, :lh_r, xo_r:xo_r + lw_r, :]
+    lvl_pck = np.asarray(atlas_p)[:, :lh_p, xo_p:xo_p + lw_p, :]
+    np.testing.assert_array_equal(
+        np.asarray(space_to_depth4(jnp.asarray(lvl_raw))), lvl_pck)
+
+
+@pytest.mark.parametrize("theta_deg,scale", [(0, 1.0), (15, 1.2), (-25, 0.9),
+                                             (10, 3.0)])
+def test_packed_warp_matches_raw_warp(theta_deg, scale):
+    """The packed path computes the same crops as the raw path (same ROI
+    content, affine-absorbed origin shift; f32 summation order differs)."""
+    frame = smooth_frame(256, 320).astype(np.uint8)
+    kps = kps_for(np.deg2rad(theta_deg), scale, (160, 128))
+    want = np.asarray(warp_faces_two_pass(
+        jnp.asarray(frame)[None], jnp.zeros(1, jnp.int32),
+        jnp.asarray(kps)[None])[0])
+    got = np.asarray(warp_faces_two_pass_packed(
+        space_to_depth4(jnp.asarray(frame)[None]), jnp.zeros(1, jnp.int32),
+        jnp.asarray(kps)[None])[0])
+    # identical pyramid bytes + identical sampling math -> sub-LSB agreement
+    assert np.abs(got - want).max() < 0.51, np.abs(got - want).max()
+
+
+def test_packed_warp_frame_index_routing():
+    frames = np.stack([np.full((256, 256, 3), 40, np.uint8),
+                       np.full((256, 256, 3), 200, np.uint8)])
+    kps = np.stack([kps_for(0.0, 0.8, (128, 128))] * 2)
+    out = np.asarray(warp_faces_two_pass_packed(
+        space_to_depth4(jnp.asarray(frames)), jnp.asarray([0, 1], jnp.int32),
+        jnp.asarray(kps)))
+    assert abs(float(out[0].mean()) - 40) < 1.0
+    assert abs(float(out[1].mean()) - 200) < 1.0
