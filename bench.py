@@ -253,12 +253,16 @@ def main():
         except Exception as exc:  # never fail the headline metric on this
             streaming = {"error": str(exc)[:200]}
         try:
-            # half-byte wire format (native yuv420 pack + ops/yuv.py device
-            # unpack): the transfer-bound streaming path's main lever
+            # half-byte wire format (native yuv420 content-row pack +
+            # ops/yuv.py device unpack) with per-frame capture-thread
+            # uploads: the transfer-bound streaming path's main levers.
+            # Frontier on this ~20 MB/s tunnel (15 s runs, 4 cams):
+            # this profile 39 fps p50 ~740 ms; frame_queue_depth=4 batched
+            # 48 fps p50 ~1.2 s; rgb r02 baseline 18.1 fps p50 469 ms.
             streaming_yuv = _streaming_mod.run(
                 n_cameras=int(os.environ.get("BENCH_STREAM_CAMS", "4")),
                 duration=float(os.environ.get("BENCH_STREAM_SECS", "5")),
-                quiet=True, transport="yuv420")
+                quiet=True, transport="yuv420", upload_on_submit=True)
         except Exception as exc:
             streaming_yuv = {"error": str(exc)[:200]}
 

@@ -38,7 +38,9 @@ except Exception:
 
 def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         app=None, quiet: bool = False, transport: str = "rgb",
-        frame_hw: tuple = (480, 640)) -> dict:
+        frame_hw: tuple = (480, 640), frame_queue_depth: int | None = None,
+        inflight_batches: int | None = None,
+        upload_on_submit: bool | None = None) -> dict:
     """Sustained N-camera streaming measurement through the production
     path (threads -> MicroBatcher -> fused program).  Returns a dict of
     {fps_in, fps_processed, dropped, p50_ms, p90_ms, p99_ms, ...} so
@@ -53,9 +55,16 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
             print(*a, flush=True)
 
     if app is None:
+        extra = {}
+        if frame_queue_depth is not None:
+            extra["frame_queue_depth"] = frame_queue_depth
+        if inflight_batches is not None:
+            extra["inflight_batches"] = inflight_batches
+        if upload_on_submit is not None:
+            extra["upload_on_submit"] = upload_on_submit
         cfg = EngineConfig(det_size=(640, 640), max_faces=16, pre_nms_topk=256,
                            dtype="bfloat16", microbatch_max=max(16, n_cameras),
-                           stream_transport=transport)
+                           stream_transport=transport, **extra)
         app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
         app.prepare(ctx_id=0, det_thresh=0.3)
     cfg = app.cfg
@@ -102,13 +111,17 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
             next_t += period
             # cheap uniqueness: roll the frame by the submission count
             f = np.roll(frame, submitted[idx] % 17, axis=1)
-            if transport == "yuv420":
-                # wire-format encode on the CAPTURE thread (parallel across
-                # cameras; ctypes releases the GIL), half the link bytes
-                f = app.encode_frame(f)
             submitted[idx] += 1
             t0 = time.perf_counter()
-            fut = batcher.submit(f"cam{idx}", f)
+            if transport == "yuv420":
+                # wire-format encode (and device upload when
+                # upload_on_submit) on the CAPTURE thread via the prepare
+                # hook: runs in parallel across cameras (ctypes/RPC release
+                # the GIL) and only for ADMITTED frames
+                fut = batcher.submit(f"cam{idx}", f,
+                                     prepare=app.encode_frame)
+            else:
+                fut = batcher.submit(f"cam{idx}", f)
 
             def on_done(_fut, t0=t0, idx=idx):
                 if getattr(_fut, "dropped", False):
@@ -145,9 +158,10 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         f"(avg batch {batcher.stats['frames'] / max(1, batcher.stats['dispatches']):.1f})")
     say(f"  processed-frame latency p50 {p(0.5):.1f} ms  "
         f"p90 {p(0.9):.1f} ms  p99 {p(0.99):.1f} ms")
-    bpp = 1.5 if transport == "yuv420" else 3.0
     dh, dw = cfg.det_size
-    mbps = (batcher.stats["frames"] * dh * dw * bpp) / wall / 1e6
+    frame_bytes = (app.encode_frame(base_frames[0]).nbytes
+                   if transport == "yuv420" else dh * dw * 3)
+    mbps = (batcher.stats["frames"] * frame_bytes) / wall / 1e6
     say(f"  note: host->device pixel traffic ~{mbps:.0f} MB/s; on a "
         f"tunneled link (~20 MB/s here) dispatch is transfer-bound — "
         f"PCIe-attached chips lift this ~1000x (see bench.py for the "

@@ -95,6 +95,18 @@ class EngineConfig:
     microbatch_window_ms: float = 4.0
     # Frame-queue depth per camera before dropping (infrenceServer.py:629).
     frame_queue_depth: int = 2
+    # Batches in flight beyond the one being dispatched (microbatch.py):
+    # 1 = classic double-buffering (upload k+1 overlaps compute/resolve k);
+    # 2 adds a pipeline stage — ~15% more sustained fps on a transfer-bound
+    # link at the cost of one extra batch-cycle of p50 latency.
+    inflight_batches: int = 1
+    # Upload each frame to the device from its CAPTURE thread (inside
+    # MicroBatcher.submit's prepare hook) instead of as one stacked batch
+    # on the dispatch thread.  N cameras' uploads then pipeline into the
+    # link while batches assemble on device, so the batch cycle shrinks to
+    # roughly compute + dispatch overheads.  Admission control applies:
+    # a frame is only uploaded if its camera slot has room.
+    upload_on_submit: bool = False
     # Gallery capacity per shard bucket (static shapes; grows by doubling).
     gallery_block: int = 1024
     embed_dim: int = 512

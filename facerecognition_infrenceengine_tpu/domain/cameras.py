@@ -92,8 +92,15 @@ class CameraManager:
             # Free-running: submit and immediately read the next frame. The
             # batcher's per-source slot drops the oldest undispatched frame
             # if recognition lags (reference drop semantics); completion is
-            # handled asynchronously by the results stage.
-            future = self.batcher.submit(source, frame)
+            # handled asynchronously by the results stage.  When the face
+            # app exposes a wire-format encoder (yuv420 transport), it runs
+            # here on the capture thread via the prepare hook — parallel
+            # across cameras, admitted frames only.
+            app = self.batcher.face_app
+            prep = (app.encode_frame
+                    if getattr(getattr(app, "cfg", None), "stream_transport",
+                               "rgb") != "rgb" else None)
+            future = self.batcher.submit(source, frame, prepare=prep)
             future.add_done_callback(
                 functools.partial(self._enqueue_result, source, company_id,
                                   frame))

@@ -57,17 +57,36 @@ class MicroBatcher:
             fut.dropped = True
             fut.set_result([])
 
-    def submit(self, source: Any, frame) -> Future:
+    def submit(self, source: Any, frame, prepare=None) -> Future:
         """Queue one frame; returns a Future resolving to list[Face].
 
         If the per-source slot is full, the OLDEST queued frame is dropped
         (its future gets an empty result) — a live stream must never back up.
+
+        ``prepare`` (optional) is an expensive per-frame transform (wire-
+        format encode and/or device upload, models/zoo.encode_frame) run on
+        the CALLING thread, outside the batcher lock — N capture threads
+        prepare in parallel.  It runs only when the frame is admitted: when
+        the slot is full the NEW frame is dropped instead (admission
+        control), so a saturated link never pays upload bytes for a frame
+        that would immediately be displaced.
         """
         future: Future = Future()
         if not self.running:
             future.dropped = True  # type: ignore[attr-defined]
             future.set_result([])
             return future
+        if prepare is not None:
+            with self._lock:
+                admitted = (len(self._slots.get(source, ()))
+                            < self.cfg.frame_queue_depth)
+            if not admitted:
+                future.dropped = True  # type: ignore[attr-defined]
+                future.set_result([])
+                self.stats["dropped"] += 1
+                metrics.counter("microbatch.dropped").inc()
+                return future
+            frame = prepare(frame)
         with self._lock:
             slot = self._slots.setdefault(source, [])
             while len(slot) >= self.cfg.frame_queue_depth:
@@ -135,21 +154,40 @@ class MicroBatcher:
         for fut, faces in zip(futures, results):
             fut.set_result(faces)
 
-    def _loop(self):
-        # Double-buffered dispatch: while the device runs batch k, this
-        # thread drains + preps + uploads batch k+1, then blocks on k's
-        # results.  Under sustained camera load the host->device transfer
-        # (the streaming bottleneck) fully overlaps device compute; when
-        # idle, the in-flight batch resolves on the next (immediate) tick.
-        window_s = self.cfg.microbatch_window_ms / 1000.0
-        inflight = None
-        while self.running:
+    def _resolver_loop(self, q):
+        """Drain the in-flight queue in FIFO order, blocking on device
+        results OFF the dispatch thread.  Measured on the tunneled v5e:
+        resolving inline cost the dispatch thread ~1/3 of each cycle
+        (result download + RTT) during which the host->device link — the
+        streaming bottleneck — sat idle; with resolution decoupled the
+        dispatch thread uploads back-to-back."""
+        while True:
+            inflight = q.get()
             if inflight is None:
+                return
+            with metrics.timer("microbatch.resolve"):
+                self._resolve(inflight)
+
+    def _loop(self):
+        # Pipelined dispatch: this thread only drains + preps + uploads;
+        # a resolver thread blocks on device results.  The bounded queue
+        # (depth 2) is the backpressure — at most two batches in flight
+        # keeps worst-case latency ~2 cycles while the upload link, the
+        # streaming bottleneck, never waits on a result round-trip.
+        import queue
+
+        window_s = self.cfg.microbatch_window_ms / 1000.0
+        depth = max(1, int(getattr(self.cfg, "inflight_batches", 1)))
+        inflight_q: "queue.Queue" = queue.Queue(maxsize=depth)
+        resolver = threading.Thread(target=self._resolver_loop,
+                                    args=(inflight_q,), daemon=True)
+        resolver.start()
+        try:
+            while self.running:
                 self._wakeup.wait(timeout=0.05)
                 self._wakeup.clear()
-            if not self.running:
-                break
-            if inflight is None:
+                if not self.running:
+                    break
                 # small batching window: let concurrent cameras pile in
                 deadline = time.perf_counter() + window_s
                 while time.perf_counter() < deadline:
@@ -158,13 +196,13 @@ class MicroBatcher:
                     if pending >= self.cfg.microbatch_max:
                         break
                     time.sleep(window_s / 4)
-            batch = self._drain()
-            nxt = None
-            if batch:
+                batch = self._drain()
+                if not batch:
+                    continue
                 with metrics.timer("microbatch.dispatch"):
                     nxt = self._dispatch(batch)
-            if inflight is not None:
-                self._resolve(inflight)
-            inflight = nxt
-        if inflight is not None:
-            self._resolve(inflight)
+                if nxt is not None:
+                    inflight_q.put(nxt)  # blocks at 2 in flight
+        finally:
+            inflight_q.put(None)
+            resolver.join(timeout=10)

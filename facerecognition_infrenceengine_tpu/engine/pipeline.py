@@ -324,9 +324,21 @@ class FaceEngine:
         """Packed-YUV420 transport variant of the fused program: one
         constant 24->48 matmul (ops/yuv.py) turns the half-size wire format
         into the packed-RGB layout, then the packed program runs unchanged.
-        Streaming hosts send 1.5 B/px instead of 3 (VERDICT r2 #5)."""
+        Streaming hosts send 1.5 B/px instead of 3 (VERDICT r2 #5).
+
+        Hosts ship only the letterbox CONTENT rows (for a 640x480 camera
+        that is another 25% off the wire); the canvas is re-padded here
+        with YUV black (Y=0, U=V=128 — zero chroma would decode green)."""
         from ..ops import yuv
 
+        dh = self.cfg.det_size[0] // 4
+        rows = frames_y24.shape[1]
+        if rows < dh:
+            b, _, w4, _ = frames_y24.shape
+            pad = jnp.tile(
+                jnp.asarray([0] * 16 + [128] * 8, jnp.uint8),
+                (b, dh - rows, w4, 1))
+            frames_y24 = jnp.concatenate([frames_y24, pad], axis=1)
         frames_p4 = yuv.yuv420p4_to_rgbp4(frames_y24)
         return self._fused_packed_impl(det_variables, rec_variables,
                                        frames_p4, det_threshold)

@@ -149,6 +149,16 @@ class FaceAnalysis:
         packed, scale = native.letterbox_yuv420_s2d4(rgb, dh, dw)
         if scale != 1.0:
             return frame_bgr  # upscaled letterbox: keep the exact rgb path
+        # Ship only the content rows: the letterbox writes the frame at the
+        # top-left, so rows >= ceil(nh/4) are all padding — for a 640x480
+        # camera on a 640x640 canvas that is 25% of the wire bytes.  The
+        # device re-pads with YUV black (engine detect_align_embed_yuv420).
+        nh4 = min((frame_bgr.shape[0] + 3) // 4, packed.shape[0])
+        packed = np.ascontiguousarray(packed[:nh4])
+        if self.cfg.upload_on_submit:
+            import jax.numpy as jnp
+
+            return jnp.asarray(packed)  # upload NOW, on the capture thread
         return packed
 
     def _get_batch_fused_yuv(self, engine, frames, max_num: int) -> list:
@@ -157,13 +167,43 @@ class FaceAnalysis:
         dh, dw = self.cfg.det_size
         packs = [f if f.shape[-1] == 24 else self.encode_frame(f)
                  for f in frames]
-        nb = bucket(len(packs))
-        stacked = np.zeros((nb, dh // 4, dw // 4, 24), np.uint8)
-        for i, p in enumerate(packs):
-            stacked[i] = p
+        stacked = self._stack_yuv(packs, dw)
         outputs = engine.detect_align_embed_yuv420(
             stacked, det_threshold=self.det_thresh)
         return self._faces_from_fused(outputs, len(frames), max_num)
+
+    @staticmethod
+    def _stack_yuv(packs, dw):
+        """Stack content-row YUV packs into one [nb, rows, dw/4, 24] batch.
+        Unfilled area is YUV black (Y=0, U=V=128) — zero chroma would
+        decode to green and could seed spurious detections.
+
+        Device-resident packs (upload_on_submit: capture threads already
+        device_put each frame) are stacked ON DEVICE — no download, no
+        re-upload; the dispatch thread's only work is one small concat
+        program."""
+        from ..engine.pipeline import bucket
+
+        import jax
+        import jax.numpy as jnp
+
+        nb = bucket(len(packs))
+        if any(isinstance(p, jax.Array) for p in packs):
+            if len({tuple(p.shape) for p in packs}) == 1:
+                stacked = jnp.stack([jnp.asarray(p) for p in packs])
+                if nb > len(packs):
+                    black = jnp.tile(
+                        jnp.asarray([0] * 16 + [128] * 8, jnp.uint8),
+                        (nb - len(packs),) + tuple(stacked.shape[1:3]) + (1,))
+                    stacked = jnp.concatenate([stacked, black], axis=0)
+                return stacked
+            packs = [np.asarray(p) for p in packs]  # mixed shapes: host path
+        rows = max(p.shape[0] for p in packs)
+        stacked = np.zeros((nb, rows, dw // 4, 24), np.uint8)
+        stacked[..., 16:] = 128
+        for i, p in enumerate(packs):
+            stacked[i, :p.shape[0]] = p
+        return stacked
 
     def get_batch_async(self, frames: list, max_num: int = 0):
         """Dispatch a batch WITHOUT blocking on device results.
@@ -179,14 +219,9 @@ class FaceAnalysis:
         engine = self._ensure_engine()
         if self._yuv_eligible(engine, frames):
             dh, dw = self.cfg.det_size
-            from ..engine.pipeline import bucket
-
             packs = [f if f.shape[-1] == 24 else self.encode_frame(f)
                      for f in frames]
-            nb = bucket(len(packs))
-            stacked = np.zeros((nb, dh // 4, dw // 4, 24), np.uint8)
-            for i, p in enumerate(packs):
-                stacked[i] = p
+            stacked = self._stack_yuv(packs, dw)
             outputs = engine.detect_align_embed_yuv420(
                 stacked, det_threshold=self.det_thresh)
             n = len(frames)

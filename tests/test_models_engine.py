@@ -267,7 +267,9 @@ def test_face_analysis_yuv_transport_matches_rgb():
     engine = app._ensure_engine()
     assert app._yuv_eligible(engine, [frame_bgr])
     enc = app.encode_frame(frame_bgr)
-    assert enc.shape == (40, 40, 24)  # 160x160 canvas, packed
+    # content rows only: 120-row frame -> 30 packed rows of the 40-row
+    # canvas ride the wire; the engine re-pads with YUV black on device
+    assert enc.shape == (30, 40, 24)
     faces_yuv = app.get_batch([enc])
     # rgb reference
     cfg_rgb = small_cfg()

@@ -78,3 +78,30 @@ def test_streaming_yuv420_transport_smoke():
                               quiet=True, frame_hw=(48, 64))
     assert stats["transport"] == "yuv420"
     assert stats["fps_processed"] > 0
+
+
+def test_streaming_yuv420_upload_on_submit_smoke():
+    """upload_on_submit: capture threads device_put each encoded frame
+    (admission-controlled), batches assemble via the device-stack path
+    (models/zoo._stack_yuv jax branch) — the driver bench profile."""
+    import streaming as streaming_mod
+
+    stats = streaming_mod.run(n_cameras=2, duration=1.5, fps=10.0,
+                              quiet=True, frame_hw=(48, 64),
+                              upload_on_submit=True, transport="yuv420",
+                              app=_tiny_yuv_app(upload_on_submit=True))
+    assert stats["transport"] == "yuv420"
+    assert stats["fps_processed"] > 0
+
+
+def _tiny_yuv_app(**extra):
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
+
+    cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                       dtype="float32", microbatch_max=4,
+                       microbatch_window_ms=2.0, stream_transport="yuv420",
+                       **extra)
+    app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
+    app.prepare(ctx_id=0, det_thresh=0.3)
+    return app
