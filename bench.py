@@ -236,7 +236,7 @@ def main():
     # Sustained streaming through the REAL serving path (camera threads ->
     # MicroBatcher -> fused program, host<->device transfers included) so
     # the production path has a tracked regression signal, not just the
-    # device-only loop.  Short window; warm shapes come from .jax_cache.
+    # device-only loop.  Warm shapes come from .jax_cache.
     streaming = None
     streaming_yuv = None
     if (jax.default_backend() == "tpu"
@@ -246,10 +246,14 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
             import streaming as _streaming_mod
 
+            # warmup seconds are discarded (thread ramp + pipeline fill is
+            # a ~2-3 s one-time transient that would otherwise dominate the
+            # sustained-fps average; see benchmarks/streaming.run).
+            stream_secs = float(os.environ.get("BENCH_STREAM_SECS", "15"))
+            stream_warm = float(os.environ.get("BENCH_STREAM_WARMUP", "5"))
             streaming = _streaming_mod.run(
                 n_cameras=int(os.environ.get("BENCH_STREAM_CAMS", "4")),
-                duration=float(os.environ.get("BENCH_STREAM_SECS", "5")),
-                quiet=True)
+                duration=stream_secs, warmup=stream_warm, quiet=True)
         except Exception as exc:  # never fail the headline metric on this
             streaming = {"error": str(exc)[:200]}
         try:
@@ -261,7 +265,7 @@ def main():
             # 48 fps p50 ~1.2 s; rgb r02 baseline 18.1 fps p50 469 ms.
             streaming_yuv = _streaming_mod.run(
                 n_cameras=int(os.environ.get("BENCH_STREAM_CAMS", "4")),
-                duration=float(os.environ.get("BENCH_STREAM_SECS", "5")),
+                duration=stream_secs, warmup=stream_warm,
                 quiet=True, transport="yuv420", upload_on_submit=True)
         except Exception as exc:
             streaming_yuv = {"error": str(exc)[:200]}

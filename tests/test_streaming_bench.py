@@ -27,7 +27,7 @@ def test_streaming_run_smoke():
                               quiet=True)
     assert stats["cameras"] == 2
     for key in ("fps_submitted", "fps_processed", "dropped", "p50_ms",
-                "p90_ms", "p99_ms", "avg_batch", "host_mbps"):
+                "p90_ms", "p99_ms", "avg_batch", "host_mbps", "link_mbps"):
         assert key in stats, key
     assert stats["fps_submitted"] > 0
     # Frames must actually flow through the device program (drops are
@@ -92,6 +92,29 @@ def test_streaming_yuv420_upload_on_submit_smoke():
                               app=_tiny_yuv_app(upload_on_submit=True))
     assert stats["transport"] == "yuv420"
     assert stats["fps_processed"] > 0
+
+
+def test_streaming_warmup_discards_transient():
+    """warmup>0 snapshots counters at the boundary so the returned stats
+    cover only the measured window: submissions from the warmup phase are
+    excluded, deltas stay non-negative, and frames still flow."""
+    import streaming as streaming_mod
+
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
+
+    cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                       dtype="float32", microbatch_max=4,
+                       microbatch_window_ms=2.0)
+    app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
+    app.prepare(ctx_id=0, det_thresh=0.3)
+    stats = streaming_mod.run(n_cameras=2, duration=1.5, fps=10.0, app=app,
+                              quiet=True, frame_hw=(48, 64), warmup=1.0)
+    assert stats["fps_processed"] > 0
+    assert stats["dropped"] >= 0
+    # only the ~1.5 s window's submissions count (2 cams * 10 fps * 1.5 s
+    # = 30 + scheduling slack); the ~20 warmup-phase frames are discarded
+    assert stats["submitted"] <= 45, stats["submitted"]
 
 
 def _tiny_yuv_app(**extra):
