@@ -67,12 +67,12 @@ def _scatter_rows(matrix, rows: np.ndarray, vals: np.ndarray):
 
 def _prefix_mask(cap: int, n: int):
     """[cap] bool validity mask for a contiguous prefix of n live rows,
-    built on device (uploading a 1M-bool mask per delta would cost more
-    than the delta itself over the TPU tunnel)."""
-    import jax
+    built on device via eager ops (uploading a 1M-bool mask per delta would
+    cost more than the delta itself over the TPU tunnel; eager ops reuse
+    jax's op cache instead of re-tracing a fresh jit lambda per call)."""
     import jax.numpy as jnp
 
-    return jax.jit(lambda k: jnp.arange(cap) < k)(jnp.int32(n))
+    return jnp.arange(cap) < jnp.int32(n)
 
 
 class _CompanySnapshot:
@@ -178,9 +178,18 @@ class _CompanySnapshot:
         ``None`` when a full rebuild is required (capacity growth, or int8
         global-scale drift that would clip the new vectors).
         """
-        rel_removals = [p for p in removals if p in self.row_of]
+        # Deduped and ordered by row DESCENDING: the swap-fill below moves
+        # the current last live row into each hole, and with holes cleared
+        # top-down the last row can never itself be a pending removal
+        # (every remaining pending pid sits at a strictly lower row) — so
+        # get_vec is never asked for a pid the manager already evicted
+        # from its host cache.
+        rel_removals = sorted(dict.fromkeys(
+            p for p in removals if p in self.row_of),
+            key=lambda p: -self.row_of[p])
+        removed_set = set(rel_removals)
         rel_updates = {p: v for p, v in updates.items()
-                       if p not in rel_removals}
+                       if p not in removed_set}
         new_pids = [p for p in rel_updates if p not in self.row_of]
         if not (rel_removals or rel_updates):
             return self
@@ -445,7 +454,8 @@ class GalleryManager:
                      != meta[pid].get("companyId")}
             self.embeddings.update(loaded)
             self.metadata.update(meta)
-            self._apply_delta_locked(loaded, meta, moved_companies=moved)
+            pending = self._begin_delta_locked()
+        self._evolve_snapshots(pending, loaded, meta, moved_companies=moved)
 
     def _remove_inactive(self):
         inactive = self.ds.employee_info.find(
@@ -469,35 +479,51 @@ class GalleryManager:
                     del self.embeddings[pid]
                     self.metadata.pop(pid, None)
                     removed.add(pid)
-            if removed:
-                self._apply_delta_locked({}, {}, removals=removed)
-                logger.info("Removed %d inactive/deleted embeddings",
-                            len(removed))
+            pending = self._begin_delta_locked() if removed else None
+        if removed:
+            self._evolve_snapshots(pending, {}, {}, removals=removed)
+            logger.info("Removed %d inactive/deleted embeddings",
+                        len(removed))
 
     def _invalidate_locked(self):
         self._version += 1
         self._snapshots.clear()
         self._company_ids.clear()
 
-    def _apply_delta_locked(self, updates: dict, meta: dict,
-                            removals: set | None = None,
-                            moved_companies: set | None = None):
+    def _begin_delta_locked(self) -> list:
+        """Start a delta generation (caller holds self._lock, having just
+        mutated embeddings/metadata): bump the version so in-flight lazy
+        builds of the PRE-delta state won't cache, and return the cached
+        snapshots to evolve outside the lock."""
+        self._version += 1
+        self._company_ids.clear()
+        return list(self._snapshots.items())
+
+    def _evolve_snapshots(self, pending: list, updates: dict, meta: dict,
+                          removals: set | None = None,
+                          moved_companies: set | None = None):
         """Evolve every cached snapshot in place of the old clear-everything
         invalidation: O(delta) host→device traffic per sync (VERDICT r2 #2).
         A snapshot that can't absorb the delta (capacity growth, int8 scale
-        drift) is dropped and lazily rebuilt on next access."""
+        drift) is dropped and lazily rebuilt on next access.
+
+        Runs WITHOUT self._lock: the scatter dispatches (and their possible
+        first-shape compiles — seconds over the tunnel) must not stall
+        matcher threads, mirroring snapshot()'s build-outside-the-lock rule.
+        Safe because snapshots are value-immutable (apply_delta returns a
+        new object), this sync thread is the only embeddings mutator, and
+        the install below is identity-checked: if a matcher lazily rebuilt a
+        key meanwhile (from the already-updated embeddings, so it includes
+        this delta), the stale evolution is discarded."""
         from ..core import metrics
 
         removals = removals or set()
         moved_companies = moved_companies or set()
-        self._version += 1
-        self._company_ids.clear()
 
         def get_vec(pid):
             return self.embeddings[pid]
 
-        for key in list(self._snapshots):
-            snap = self._snapshots[key]
+        for key, snap in pending:
             if key == "__all__":
                 rel_up, rel_rm = updates, removals
             else:
@@ -508,14 +534,17 @@ class GalleryManager:
                                      if meta[p].get("companyId") != key}
             rel_meta = {p: meta[p] for p in rel_up}
             new_snap = snap.apply_delta(rel_up, rel_meta, rel_rm, get_vec)
-            if new_snap is None:
-                del self._snapshots[key]  # rebuild lazily on next access
-                metrics.counter("gallery.snapshot_rebuilds").inc()
-            else:
-                if new_snap is not snap:
-                    metrics.counter("gallery.delta_rows").inc(
-                        len(rel_up) + len(rel_rm))
-                self._snapshots[key] = new_snap
+            with self._lock:
+                if self._snapshots.get(key) is not snap:
+                    continue  # rebuilt meanwhile: already includes the delta
+                if new_snap is None:
+                    del self._snapshots[key]  # rebuild lazily on next access
+                    metrics.counter("gallery.snapshot_rebuilds").inc()
+                else:
+                    if new_snap is not snap:
+                        metrics.counter("gallery.delta_rows").inc(
+                            len(rel_up) + len(rel_rm))
+                    self._snapshots[key] = new_snap
 
     # ---------------------------------------------------------------- sync
     def start_sync(self):

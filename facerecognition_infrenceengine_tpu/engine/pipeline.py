@@ -385,10 +385,16 @@ class FaceEngine:
         self._embed_scales = quant.calibrate(
             self.rec_variables, calib, depths=self._quant_depths,
             dtype=self.embedder.dtype)
-        # The scales were captured at trace time; invalidate compiled code.
+        # The scales were captured at trace time; invalidate EVERY compiled
+        # program that embeds (_apply_embedder bakes self._embed_scales),
+        # including the packed/yuv wire-format variants — leaving those out
+        # would silently serve stale calibration on exactly the production
+        # transport paths recalibration targets.
         self._embed_jit = jax.jit(self._embed_impl)
         self._embed_crops_jit = jax.jit(self._embed_crops_impl)
         self._fused_jit = jax.jit(self._fused_impl)
+        self._fused_packed_jit = jax.jit(self._fused_packed_impl)
+        self._fused_yuv_jit = jax.jit(self._fused_yuv_impl)
 
     def embed_crops(self, crops_u8) -> np.ndarray:
         """Embed pre-aligned 112x112 crops (host-warped path); [M,112,112,3]."""
@@ -578,17 +584,17 @@ class FaceEngine:
 
     @staticmethod
     def pack_frames(frames_u8) -> np.ndarray:
-        """Host-side s2d4 pack: [B, H, W, C] u8 -> [B, H/4, W/4, 16C].
+        """Host-side s2d4 pack: [B, H, W, 3] u8 -> [B, H/4, W/4, 48].
 
-        Same bytes the native letterbox (native/imagecodec.letterbox_s2d4)
-        emits directly while letterboxing — this numpy fallback exists for
-        tests and sources that already hold raw canvases.
+        Batched wrapper over native.pack_s2d4 (the single owner of the
+        (p*4+q)*C+c layout contract, C++ with a numpy fallback) for tests
+        and sources that already hold raw canvases; production sources get
+        the same bytes from native letterbox_s2d4 at pixel-writing time.
         """
+        from .. import native
+
         f = np.asarray(frames_u8)
-        b, h, w, c = f.shape
-        return np.ascontiguousarray(
-            f.reshape(b, h // 4, 4, w // 4, 4, c).transpose(0, 1, 3, 2, 4, 5)
-        ).reshape(b, h // 4, w // 4, 16 * c)
+        return np.stack([native.pack_s2d4(frame) for frame in f])
 
     def detect_align_embed_yuv420(self, frames_y24_u8,
                                   det_threshold: float = 0.3):

@@ -161,6 +161,27 @@ class FaceAnalysis:
             return jnp.asarray(packed)  # upload NOW, on the capture thread
         return packed
 
+    def _decode_mixed_packs(self, frames: list) -> list:
+        """A batch mixing YUV packs with raw BGR frames (cameras at
+        different resolutions: encode_frame falls back to raw for
+        letterbox scale != 1.0) fails _yuv_eligible and lands on the
+        raw-frame paths — which expect HxWx3.  Decode any 24-channel packs
+        back to BGR content rows host-side so every downstream path sees
+        plain camera frames (the 4:2:0 chroma loss was paid at encode)."""
+        if not any(getattr(f, "ndim", 0) == 3 and f.shape[-1] == 24
+                   for f in frames):
+            return frames
+        from ..ops.yuv import yuv420p4_to_rgb_host
+
+        out = []
+        for f in frames:
+            if f.ndim == 3 and f.shape[-1] == 24:
+                rgb = yuv420p4_to_rgb_host(np.asarray(f))
+                out.append(np.ascontiguousarray(rgb[..., ::-1]))  # BGR
+            else:
+                out.append(f)
+        return out
+
     def _get_batch_fused_yuv(self, engine, frames, max_num: int) -> list:
         from ..engine.pipeline import bucket
 
@@ -226,6 +247,7 @@ class FaceAnalysis:
                 stacked, det_threshold=self.det_thresh)
             n = len(frames)
             return lambda: self._faces_from_fused(outputs, n, max_num)
+        frames = self._decode_mixed_packs(frames)
         want_embed = "recognition" in self.allowed_modules
         want_attrs = ("genderage" in self.allowed_modules
                       or "landmark_2d_106" in self.allowed_modules)
@@ -271,6 +293,7 @@ class FaceAnalysis:
         engine = self._ensure_engine()
         if self._yuv_eligible(engine, frames):
             return self._get_batch_fused_yuv(engine, frames, max_num)
+        frames = self._decode_mixed_packs(frames)
         canvases = []
         scales = []
         rgb_frames = []

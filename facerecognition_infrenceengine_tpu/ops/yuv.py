@@ -55,6 +55,23 @@ def yuv420p4_to_rgbp4(x24: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.floor(rgb + 0.5), 0.0, 255.0).astype(jnp.uint8)
 
 
+def yuv420p4_to_rgb_host(pack: np.ndarray) -> np.ndarray:
+    """[rows, w4, 24] packed-YUV420 u8 -> [rows*4, w4*4, 3] u8 RGB, on the
+    host (numpy).  Fallback decoder for batches that can't take the fused
+    yuv device path (e.g. mixed wire formats from cameras at different
+    resolutions): the pack is turned back into a plain RGB frame and served
+    through the raw-RGB programs.  Same constants as the device unpack;
+    the 4:2:0 chroma loss was already paid at encode time."""
+    k, b = _mix_constants()
+    rows, w4 = pack.shape[:2]
+    rgb48 = pack.astype(np.float32) @ k + b
+    rgb48 = np.clip(np.floor(rgb48 + 0.5), 0.0, 255.0).astype(np.uint8)
+    # undo s2d4: channel (p*4+q)*3+c -> pixel (r*4+p, x*4+q, c)
+    return (rgb48.reshape(rows, w4, 4, 4, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(rows * 4, w4 * 4, 3))
+
+
 def rgb_to_yuv420p4_reference(img: np.ndarray) -> np.ndarray:
     """Pure-numpy reference of the host packer (tests pin the native C++
     and this against each other byte-for-byte)."""

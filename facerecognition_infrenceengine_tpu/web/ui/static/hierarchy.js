@@ -249,21 +249,26 @@ function renderTree(container, nodes, opts = {}) {
       g.setAttribute('transform',
         `translate(${pos.x(n) + sx}, ${pos.y(n) + sy})`);
       g.classList.add('dragging');
+      // elementFromPoint must see THROUGH the dragged node (it follows the
+      // cursor and would otherwise always be its own "drop target")
+      g.style.pointerEvents = 'none';
       // highlight the node (or root chip) under the cursor
       for (const other of nodeEls.values()) other.classList.remove('drop-target');
-      const target = dropTargetAt(ev);
+      const target = dropTargetAt(ev, drag.id);
       if (target && target.id) nodeEls.get(target.id).classList.add('drop-target');
     }
   });
 
-  function dropTargetAt(ev) {
+  // excludeId is passed explicitly: pointerup clears `drag` before resolving
+  // the drop, so the shared state must not be read here
+  function dropTargetAt(ev, excludeId) {
     const under = document.elementFromPoint(ev.clientX, ev.clientY);
     if (!under) return null;
     if (under.closest && under.closest('[data-drop="root"]')) return { root: true };
     const g = under.closest ? under.closest('.svg-node') : null;
     if (!g) return null;
     const id = g.getAttribute('data-node-id');
-    return id !== drag.id ? { id } : null;
+    return id !== excludeId ? { id } : null;
   }
 
   svg.addEventListener('pointerup', (ev) => {
@@ -282,9 +287,12 @@ function renderTree(container, nodes, opts = {}) {
       g.setAttribute('transform', `translate(${pos.x(n)}, ${pos.y(n)})`);
       g.classList.remove('dragging');
       if (d.kind === 'node') {
-        const target = dropTargetAt(ev);
+        const target = dropTargetAt(ev, d.id);  // before pointer-events reset
+        g.style.pointerEvents = '';
         if (target && target.root) opts.onMove(d.id, null);
         else if (target && target.id) opts.onMove(d.id, target.id);
+      } else {
+        g.style.pointerEvents = '';
       }
     }
   });
@@ -295,6 +303,7 @@ function renderTree(container, nodes, opts = {}) {
       const n = byId.get(drag.id);
       g.setAttribute('transform', `translate(${pos.x(n)}, ${pos.y(n)})`);
       g.classList.remove('dragging');
+      g.style.pointerEvents = '';
     }
     drag = null;
   });

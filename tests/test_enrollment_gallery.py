@@ -333,6 +333,45 @@ def test_gallery_delta_sync_is_incremental(world):
     assert _CompanySnapshot.full_builds == builds, "update caused a rebuild"
 
 
+def test_gallery_delta_multi_removal_including_last_row(world):
+    """Evicting several people in ONE sync delta, where the last live row is
+    itself among the removals: the swap-fill must never source a row from a
+    pid that is also being evicted (review r3: get_vec raised KeyError
+    because the manager had already dropped evicted pids from its host
+    cache, and the failed sync left deleted identities matchable)."""
+    from facerecognition_infrenceengine_tpu.engine.gallery import (
+        _CompanySnapshot)
+
+    cfg, ds, client, cid, worker = world
+    for i, seed in enumerate((42, 43, 44, 45, 46)):
+        register(client, cid, f"E{i}", person_seed=seed)
+    worker.process_available_jobs()
+    gallery = GalleryManager(ds, cfg)
+    snap0 = gallery.snapshot(cid)
+    assert snap0.size == 5
+    builds = _CompanySnapshot.full_builds
+    # row 0 (E0) and the LAST live row (E4) leave in the same delta: clearing
+    # row 0 first would swap-fill it with E4's row — a pending removal
+    for emp in ("E0", "E4"):
+        client.delete("/bharatlytics/v1/employees/delete",
+                      json_body={"employeeId": emp, "companyId": cid})
+    gallery.force_sync()  # must not raise (KeyError pre-fix)
+    assert _CompanySnapshot.full_builds == builds, "removal caused a rebuild"
+    snap1 = gallery.snapshot(cid)
+    assert snap1.size == 3
+    assert sorted(snap1.row_of.values()) == list(range(3))
+    left = {m["employeeId"] for m in snap1.metadata.values()}
+    assert left == {"E1", "E2", "E3"}
+    # deleted identities no longer match; every survivor still matches itself
+    for pid, row in snap1.row_of.items():
+        vec = np.asarray(snap1.device_matrix[row], np.float32)
+        _, ids_r = snap1.match(vec[None])
+        assert ids_r[0][0] == pid
+    _, ids, meta = gallery.match(fake_embedding(42)[None], company_id=cid)
+    assert (ids[0][0] is None
+            or meta[ids[0][0]]["employeeId"] != "E0")
+
+
 def test_gallery_delta_capacity_growth_rebuilds_once(world):
     """Deltas that outgrow the padded capacity fall back to ONE lazy full
     rebuild at the doubled capacity."""

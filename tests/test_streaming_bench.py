@@ -117,6 +117,48 @@ def test_streaming_warmup_discards_transient():
     assert stats["submitted"] <= 45, stats["submitted"]
 
 
+def test_mixed_yuv_and_raw_batch_does_not_crash():
+    """Cameras at different resolutions share one MicroBatcher: the
+    640x480-class camera's prepare hook yields 24-channel YUV packs while a
+    high-res camera falls back to raw BGR (encode_frame scale != 1.0).  A
+    mixed batch fails _yuv_eligible and must decode the packs host-side and
+    serve through the raw paths — not letterbox a 24-channel array (review
+    r3: ValueError poisoned every future in the batch)."""
+    import numpy as np
+
+    app = _tiny_yuv_app()
+    rng = np.random.default_rng(0)
+    small = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)   # scale 1.0
+    big = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)    # scale 0.5
+    pack = app.encode_frame(small)
+    assert pack.shape[-1] == 24
+    assert app.encode_frame(big).shape[-1] == 3  # raw fallback
+    res = app.get_batch([pack, big])
+    assert len(res) == 2  # one face list per frame, no exception
+
+
+def test_yuv_host_decode_roundtrip():
+    """yuv420p4_to_rgb_host inverts the packer to within 4:2:0 chroma loss."""
+    import numpy as np
+
+    from facerecognition_infrenceengine_tpu.ops.yuv import (
+        rgb_to_yuv420p4_reference, yuv420p4_to_rgb_host)
+
+    # smooth content (real camera frames are locally smooth) roundtrips
+    # exactly — chroma is constant within each 2x2 block
+    img = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None],
+                  (48, 1, 3))
+    back = yuv420p4_to_rgb_host(rgb_to_yuv420p4_reference(img))
+    assert back.shape == img.shape and back.dtype == np.uint8
+    np.testing.assert_array_equal(back, img)
+    # adversarial per-pixel noise: bounded by 4:2:0 chroma averaging
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    backn = yuv420p4_to_rgb_host(rgb_to_yuv420p4_reference(noise))
+    err = np.abs(backn.astype(np.int32) - noise.astype(np.int32))
+    assert err.mean() < 60
+
+
 def _tiny_yuv_app(**extra):
     from facerecognition_infrenceengine_tpu.core.config import EngineConfig
     from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis

@@ -193,6 +193,13 @@ def test_hierarchy_interactivity_surface(client):
     assert "moveEntityTo" in ed
     assert "/move" in ed
     assert "viewKey" in ed
+    # drop-target resolution invariants (review r3): pointerup clears the
+    # shared `drag` state before resolving the drop, so dropTargetAt must
+    # take the dragged id as a parameter, and the dragged node must be
+    # pointer-events:none or elementFromPoint always returns it
+    assert "dropTargetAt(ev, d.id)" in js
+    assert "dropTargetAt(ev)" not in js, "stale drag state read in drop"
+    assert "pointerEvents = 'none'" in js
 
 
 def test_definition_editor_live_validation(client):
