@@ -29,6 +29,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def wait_for_backend(max_tries=6, delay=30, probe_timeout=120):
+    """Ride out transient axon-tunnel outages (observed: backend init
+    HANGING or raising UNAVAILABLE for minutes during remote restarts)
+    instead of recording an empty benchmark.  Probes in a SUBPROCESS
+    because jax caches backend-init failures for the life of the process;
+    this process only initializes after a probe succeeds.  Must run BEFORE
+    anything touches jax.default_backend()/jax.devices() (the cache gate
+    below does).  Returns silently after max_tries so the real error
+    surfaces with full detail."""
+    import subprocess
+
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                return
+        except Exception:
+            pass
+        print(f"# TPU backend unavailable (probe {i + 1}/{max_tries}); "
+              f"retrying in {delay}s", file=sys.stderr, flush=True)
+        time.sleep(delay)
+
+
+if __name__ == "__main__":
+    wait_for_backend()
+
 # TPU-only persistent compile cache (XLA:CPU AOT entries are
 # machine-specific and can SIGILL elsewhere).
 try:
