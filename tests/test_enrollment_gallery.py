@@ -372,6 +372,47 @@ def test_gallery_delta_multi_removal_including_last_row(world):
             or meta[ids[0][0]]["employeeId"] != "E0")
 
 
+def test_gallery_delta_evolution_respects_concurrent_rebuild(world):
+    """Snapshot evolution runs outside the manager lock (device scatters
+    must not stall matchers); the install is identity-checked — a snapshot
+    a matcher lazily rebuilt mid-evolution (from the already-updated host
+    cache, so it includes the delta) must NOT be overwritten by the stale
+    evolution result."""
+    cfg, ds, client, cid, worker = world
+    for i, seed in enumerate((42, 43)):
+        register(client, cid, f"E{i}", person_seed=seed)
+    worker.process_available_jobs()
+    gallery = GalleryManager(ds, cfg)
+    old_snap = gallery.snapshot(None)  # cache the "__all__" key
+
+    # simulate the race: a delta generation begins; before the evolved
+    # snapshot is installed, a matcher drops + lazily rebuilds the key
+    # (rebuilds read the already-updated host cache, so they're fresh)
+    vec = _normalize_like(fake_embedding(77))
+    with gallery._lock:
+        gallery.embeddings["p-race"] = vec
+        gallery.metadata["p-race"] = {"name": "Race", "type": "employee",
+                                      "companyId": cid}
+        pending = gallery._begin_delta_locked()
+        del gallery._snapshots["__all__"]
+    rebuilt = gallery.snapshot(None)
+    assert "p-race" in rebuilt.row_of  # fresh: includes the delta already
+    gallery._evolve_snapshots(
+        pending, {"p-race": vec},
+        {"p-race": gallery.metadata["p-race"]})
+    assert gallery.snapshot(None) is rebuilt, \
+        "stale evolution overwrote a fresher concurrent rebuild"
+    assert pending == [("__all__", old_snap)]
+
+
+def _normalize_like(v):
+    import numpy as _np
+
+    v = _np.asarray(v, _np.float32).reshape(-1)
+    n = _np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
 def test_gallery_delta_capacity_growth_rebuilds_once(world):
     """Deltas that outgrow the padded capacity fall back to ONE lazy full
     rebuild at the doubled capacity."""
