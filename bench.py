@@ -30,15 +30,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def wait_for_backend(max_tries=6, delay=30, probe_timeout=120):
+def wait_for_backend(max_tries=12, delay=30, probe_timeout=120):
     """Ride out transient axon-tunnel outages (observed: backend init
-    HANGING or raising UNAVAILABLE for minutes during remote restarts)
+    HANGING or raising UNAVAILABLE for hours during remote incidents)
     instead of recording an empty benchmark.  Probes in a SUBPROCESS
     because jax caches backend-init failures for the life of the process;
     this process only initializes after a probe succeeds.  Must run BEFORE
     anything touches jax.default_backend()/jax.devices() (the cache gate
-    below does).  Returns silently after max_tries so the real error
-    surfaces with full detail."""
+    below does).  Exits nonzero after max_tries (~30 min): proceeding
+    would HANG in backend init, which is worse for a driver than a clean
+    failure with a cause on stderr."""
     import subprocess
 
     for i in range(max_tries):
@@ -53,6 +54,10 @@ def wait_for_backend(max_tries=6, delay=30, probe_timeout=120):
         print(f"# TPU backend unavailable (probe {i + 1}/{max_tries}); "
               f"retrying in {delay}s", file=sys.stderr, flush=True)
         time.sleep(delay)
+    print("# TPU backend still unavailable after "
+          f"{max_tries} probes — giving up (tunnel outage)",
+          file=sys.stderr, flush=True)
+    sys.exit(2)
 
 
 if __name__ == "__main__":
