@@ -4,6 +4,10 @@
 // ======================================================== companies page
 async function initCompaniesPage() {
   const tbody = $('#companies-body');
+  // DataTables role (reference app.js:142-220): search/sort/pagination
+  const dt = dataTable(tbody.closest('table'), {
+    placeholder: 'Search companies...', noSort: [5],
+  });
 
   async function refresh() {
     clear(tbody);
@@ -12,8 +16,9 @@ async function initCompaniesPage() {
       const companies = data.companies || [];
       $('#company-count').textContent = `${companies.length} companies`;
       if (!companies.length) {
-        tbody.append(el('tr', {}, el('td', { colspan: 6, class: 'muted' },
-          'No companies yet — create one or seed a demo company.')));
+        tbody.append(el('tr', { 'data-dt-empty': '' },
+          el('td', { colspan: 6, class: 'muted' },
+            'No companies yet — create one or seed a demo company.')));
       }
       for (const c of companies) {
         tbody.append(el('tr', {},
@@ -35,6 +40,7 @@ async function initCompaniesPage() {
             }, 'Delete')),
         ));
       }
+      dt.update();
     } catch (e) {
       toast(`Failed to load companies: ${e.message}`, true);
     }
@@ -146,11 +152,16 @@ async function initCompanyDetailsPage() {
       JSON.stringify(company.infrastructure || {}, null, 2);
   }
 
+  const empTbody = $('#employees-body');
+  const empDt = dataTable(empTbody.closest('table'), {
+    placeholder: 'Search employees...',
+  });
+
   async function refreshEmployees() {
     try {
       const employees = await api(
         `${API_CONFIG.ENDPOINTS.EMPLOYEES}/?companyId=${companyId}&fetchEmbeddings=true`);
-      const tbody = $('#employees-body');
+      const tbody = empTbody;
       clear(tbody);
       $('#employee-count').textContent = `${employees.length} employees`;
       for (const emp of employees) {
@@ -168,6 +179,7 @@ async function initCompanyDetailsPage() {
               `${model}: ${e2.status}`))),
         ));
       }
+      empDt.update();
     } catch (e) {
       toast(`Employees: ${e.message}`, true);
     }

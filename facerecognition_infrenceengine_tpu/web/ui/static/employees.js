@@ -3,7 +3,7 @@
 // /register :89, GET / :222, /update :341, /delete :396,
 // /cleanup-duplicates :461, /audit-logs :500).
 
-let EMP = { companyId: null, employees: [], selectedId: null, filter: '' };
+let EMP = { companyId: null, employees: [], selectedId: null, dt: null };
 
 async function loadEmpCompanies() {
   const data = await api(API_CONFIG.ENDPOINTS.COMPANIES);
@@ -31,13 +31,16 @@ function embBadge(model, info) {
 
 function renderEmployees() {
   const tbody = $('#employees-tbody');
+  // filter/sort/pagination live in the shared dataTable controller
+  // (table.js), driven by the page's #employee-filter search box
+  if (!EMP.dt) {
+    EMP.dt = dataTable(tbody.closest('table'), {
+      searchInput: $('#employee-filter'), noSort: [6],
+    });
+  }
   clear(tbody);
-  const q = EMP.filter.toLowerCase();
-  const rows = EMP.employees.filter(e => !q ||
-    [e.employeeId, e.employeeName, e.employeeEmail]
-      .some(v => (v || '').toLowerCase().includes(q)));
-  $('#employee-count').textContent = `${rows.length}`;
-  for (const e of rows) {
+  $('#employee-count').textContent = `${EMP.employees.length}`;
+  for (const e of EMP.employees) {
     const tr = el('tr', {
       style: 'cursor:pointer',
       onclick: () => { EMP.selectedId = e.employeeId; renderEmployees(); },
@@ -62,6 +65,7 @@ function renderEmployees() {
     if (EMP.selectedId === e.employeeId) tr.classList.add('selected');
     tbody.append(tr);
   }
+  EMP.dt.update();
   renderEmployeeDetail();
 }
 
@@ -184,10 +188,6 @@ document.addEventListener('DOMContentLoaded', async () => {
     EMP.selectedId = null;
     try { await loadEmployees(); }
     catch (e) { EMP.employees = []; renderEmployees(); toast(e.message, true); }
-  });
-  $('#employee-filter').addEventListener('input', (ev) => {
-    EMP.filter = ev.target.value;
-    renderEmployees();
   });
   $('#register-btn').addEventListener('click', () => {
     if (!EMP.companyId) { toast('Select a company first', true); return; }

@@ -202,6 +202,34 @@ def test_hierarchy_interactivity_surface(client):
     assert "pointerEvents = 'none'" in js
 
 
+def test_list_tables_have_datatable_surface(client):
+    """The reference renders its lists as DataTables (app/static/js/
+    app.js:142-220: search box, sortable headers, pagination with a
+    page-size selector and a Showing-X-to-Y info line); table.js is the
+    dependency-free equivalent and every list page must load + wire it."""
+    js = client.get("/ui/static/table.js").text
+    for token in ("function dataTable", "dt-search", "dt-pager",
+                  "sort-asc", "sort-desc", "Showing", "pageSize",
+                  "localeCompare", "data-dt-empty"):
+        assert token in js, token
+    for page, script in (("/ui/companies", "app.js"),
+                         ("/ui/company-details", "app.js"),
+                         ("/ui/employees", "employees.js")):
+        html = client.get(page).text
+        assert '/ui/static/table.js' in html, f"{page} does not load table.js"
+        assert html.index("table.js") < html.index(script), (
+            f"{page}: table.js must load before {script}")
+    app_js = client.get("/ui/static/app.js").text
+    assert app_js.count("dataTable(") >= 2  # companies + details employees
+    assert "dt.update()" in app_js
+    emp_js = client.get("/ui/static/employees.js").text
+    assert "dataTable(" in emp_js
+    assert "searchInput: $('#employee-filter')" in emp_js  # reuse page box
+    css = client.get("/ui/static/style.css").text
+    for token in (".dt-toolbar", ".dt-pager", "th.sort-asc", "th.sort-desc"):
+        assert token in css, token
+
+
 def test_definition_editor_live_validation(client):
     """Regex/allowed-values editing with live feedback: invalid patterns
     flag as you type; a sample value evaluates against the same rules the
