@@ -381,7 +381,12 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
             had_qr = isinstance(visit.get("qrCode"), ObjectId)
             visit = _stringify_visit(visit)
             if had_qr:
-                visit["qrCodeUrl"] = f"/bharatlytics/v1/visits/qr/{visit['_id']}"
+                # reference visitor.py:820 emits "/bharatlytics/v1/visits/qr/…"
+                # but its blueprint routes live under the /visitors mount (the
+                # registration is absent from the snapshot) — that URL cannot
+                # resolve.  Emit the path the route actually serves.
+                visit["qrCodeUrl"] = (
+                    f"{cfg.api.url_prefix}/visitors/visits/qr/{visit['_id']}")
             visits.append(visit)
         return jsonify({"visits": visits}), 200
 

@@ -62,6 +62,10 @@ def make_ui_bp() -> Blueprint:
     def employees():
         return page("employees.html")
 
+    @bp.route("/visitors", methods=["GET"])
+    def visitors():
+        return page("visitors.html")
+
     @bp.route("/static/<path:filename>", methods=["GET"])
     def static_file(filename: str):
         ext = os.path.splitext(filename)[1].lower()

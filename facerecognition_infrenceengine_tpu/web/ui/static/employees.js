@@ -161,6 +161,8 @@ async function cleanupDuplicates() {
   } catch (err) { toast(err.message, true); }
 }
 
+let AUDIT_DT = null;
+
 async function loadAuditLogs() {
   const token = $('#audit-token').value.trim();
   if (!token) { toast('Auth token required', true); return; }
@@ -168,6 +170,11 @@ async function loadAuditLogs() {
     const logs = await api(`${API_CONFIG.ENDPOINTS.EMPLOYEES}/audit-logs`,
                            { headers: { 'X-Auth-Token': token } });
     const tbody = $('#audit-tbody');
+    if (!AUDIT_DT) {
+      AUDIT_DT = dataTable(tbody.closest('table'), {
+        placeholder: 'Search audit log...', pageSize: 25,
+      });
+    }
     clear(tbody);
     for (const log of logs) {
       tbody.append(el('tr', {},
@@ -177,6 +184,7 @@ async function loadAuditLogs() {
         el('td', {}, String(log.companyId || '')),
       ));
     }
+    AUDIT_DT.update();
   } catch (err) { toast(err.message, true); }
 }
 

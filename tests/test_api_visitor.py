@@ -174,6 +174,10 @@ def test_visit_listing_and_analytics(client, company_and_host, app):
     r = client.get(f"/bharatlytics/v1/visitors/visits?companyId={cid}")
     visits = r.get_json()["visits"]
     assert len(visits) == 1 and visits[0]["qrCodeUrl"]
+    # the advertised URL must actually resolve (reference visitor.py:820
+    # emits an unmounted path that 404s; ours serves the pass PNG)
+    r = client.get(visits[0]["qrCodeUrl"])
+    assert r.status_code == 200 and r.data[:8] == b"\x89PNG\r\n\x1a\n"
     r = client.get(f"/bharatlytics/v1/visitors?companyId={cid}")
     assert len(r.get_json()["visitors"]) == 1
     r = client.get(f"/bharatlytics/v1/visitors/visits/analytics/host?companyId={cid}")

@@ -22,7 +22,8 @@ def client():
     return app.test_client()
 
 
-PAGES = ["/ui/", "/ui/companies", "/ui/company-details", "/ui/employees"]
+PAGES = ["/ui/", "/ui/companies", "/ui/company-details", "/ui/employees",
+         "/ui/visitors"]
 
 
 @pytest.mark.parametrize("path", PAGES)
@@ -214,7 +215,8 @@ def test_list_tables_have_datatable_surface(client):
         assert token in js, token
     for page, script in (("/ui/companies", "app.js"),
                          ("/ui/company-details", "app.js"),
-                         ("/ui/employees", "employees.js")):
+                         ("/ui/employees", "employees.js"),
+                         ("/ui/visitors", "visitors.js")):
         html = client.get(page).text
         assert '/ui/static/table.js' in html, f"{page} does not load table.js"
         assert html.index("table.js") < html.index(script), (
@@ -228,6 +230,26 @@ def test_list_tables_have_datatable_surface(client):
     css = client.get("/ui/static/style.css").text
     for token in (".dt-toolbar", ".dt-pager", "th.sort-asc", "th.sort-desc"):
         assert token in css, token
+
+
+def test_visitors_page_drives_full_visit_lifecycle(client):
+    """The visitors workspace must wire every lifecycle endpoint of the
+    visitor blueprint (reference app/api/visitor.py): register (multipart
+    with 3 poses), schedule-visit, check-in, check-out, delete visit,
+    pass download (qrCodeUrl), and verify-qr."""
+    js = client.get("/ui/static/visitors.js").text
+    for token in ("/visitors/register", "schedule-visit", "check-in",
+                  "check-out", "verify-qr", "qrCodeUrl", "accessAreas",
+                  "checkInMethod", "checkOutMethod",
+                  "['center', 'left', 'right']"):
+        assert token in js, token
+    html = client.get("/ui/visitors").text
+    for dom_id in ("visitors-tbody", "visits-tbody", "register-visitor-form",
+                   "schedule-form", "verify-form", "vq-result"):
+        assert f'id="{dom_id}"' in html, dom_id
+    # every page links to the visitors workspace in its topbar
+    for page in PAGES:
+        assert '/ui/visitors' in client.get(page).text, page
 
 
 def test_definition_editor_live_validation(client):
