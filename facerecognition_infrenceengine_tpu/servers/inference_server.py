@@ -21,11 +21,19 @@ from ..domain.cameras import CameraManager
 from ..engine.gallery import GalleryManager
 from ..store.client import get_datastore
 from ..store.indexes import init_db
-from ..web import App, jsonify, request
+from ..web import App, Response, jsonify, request
+from . import dashboard_page
 
 
 def build_app(gallery: GalleryManager, camera_manager: CameraManager) -> App:
     app = App("inference-server")
+
+    @app.route("/", methods=["GET"])
+    def dashboard():
+        # ops dashboard over the control API below (the reference offers
+        # only curl against :685-724; this is the same data, self-served)
+        return Response(dashboard_page("inference.html"), 200,
+                        mimetype="text/html; charset=utf-8")
 
     @app.route("/api/embeddings/stats", methods=["GET"])
     def get_embedding_stats():

@@ -28,12 +28,20 @@ from ..domain.counting import CameraStreamManager
 from ..engine.gallery import GalleryManager
 from ..store.client import get_datastore
 from ..store.indexes import init_db
-from ..web import App, jsonify, request
+from ..web import App, Response, jsonify, request
+from . import dashboard_page
 
 
 def build_app(people_manager: CampusPeopleManager) -> App:
     app = App("people-count")
     ds = people_manager.ds
+
+    @app.route("/", methods=["GET"])
+    def dashboard():
+        # web form of the reference's stdout status banner
+        # (peopleCount.py:1227-1271), polling the read-only API below
+        return Response(dashboard_page("campus.html"), 200,
+                        mimetype="text/html; charset=utf-8")
 
     @app.route("/api/status", methods=["GET"])
     def get_overall_status():

@@ -149,3 +149,35 @@ def test_capture_is_free_running(cfg, monkeypatch):
     assert cm.stats["results"] > 0 and seen  # recognitions still flowed
     # stale frames were dropped, not queued behind the slow device
     assert captured > cm.stats["results"]
+
+
+def test_server_dashboards_serve_and_poll_own_api(cfg):
+    """GET / on each server serves a self-contained ops dashboard (the web
+    form of the reference's stdout status banner, peopleCount.py:1227-1271)
+    that polls only the server's own routes — no external resources."""
+    import re
+
+    ds = Datastore(cfg)
+    gallery = GalleryManager(ds, cfg)
+    cm = CameraManager(gallery, cfg=cfg)
+    inf = build_inference_app(gallery, cm).test_client()
+    manager = CampusPeopleManager(ds, cfg, start_background=False)
+    cnt = build_count_app(manager).test_client()
+
+    for client, endpoints in (
+            (inf, ["/api/embeddings/stats", "/api/metrics",
+                   "/api/embeddings/sync", "/api/camera/start",
+                   "/api/camera/stop", "/api/profiler/start"]),
+            (cnt, ["/api/analytics/summary", "/api/campus/",
+                   "/events", "/unknown"])):
+        r = client.get("/")
+        assert r.status_code == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.text
+        assert "<!DOCTYPE html>" in html
+        for ep in endpoints:
+            assert ep in html, ep
+        # zero-egress: no external scripts/styles/fetches
+        for ref in re.findall(r'(?:src|href)="([^"]+)"', html):
+            assert not ref.startswith(("http://", "https://", "//")), ref
+        assert "http://" not in html and "https://" not in html
