@@ -102,6 +102,40 @@ def test_js_dom_ids_exist_in_pages(client):
                 f"absent from every page that loads it")
 
 
+def test_js_cross_file_helpers_resolve(client):
+    """No JS runtime exists in this image, so statically enforce script
+    dependency order: every top-level helper a page's script calls
+    (api, el, dataTable, ...) must be *defined* in some script that page
+    loads — catches a forgotten <script src> include the way a browser's
+    'X is not defined' would."""
+    defs_by_script = {}
+    pages_scripts = {}
+    for path in PAGES:
+        html = client.get(path).text
+        srcs = re.findall(r'<script src="(/ui/static/[^"]+)"', html)
+        pages_scripts[path] = srcs
+        for src in srcs:
+            if src in defs_by_script:
+                continue
+            js = client.get(src).text
+            defs_by_script[src] = set(
+                re.findall(r"^(?:async )?function (\w+)\(", js, re.M))
+    all_helpers = set().union(*defs_by_script.values())
+    for path, srcs in pages_scripts.items():
+        defined = set().union(*(defs_by_script[s] for s in srcs))
+        for src in srcs:
+            js = client.get(src).text
+            # strip comments/strings so helper names in prose don't count
+            js = re.sub(r"'(?:\\.|[^'\\\n])*'", "''", js)
+            js = re.sub(r'"(?:\\.|[^"\\\n])*"', '""', js)
+            js = re.sub(r"//[^\n]*", "", js)
+            used = {n for n in re.findall(r"\b(\w+)\(", js) if n in all_helpers}
+            missing = used - defined
+            assert not missing, (
+                f"{path} loads {src} which calls {sorted(missing)} — "
+                f"defined in no script this page loads")
+
+
 def test_js_brackets_balanced(client):
     """Crude parse sanity for every served script: (), {}, [] balance
     outside strings/comments — catches truncation/merge damage."""
