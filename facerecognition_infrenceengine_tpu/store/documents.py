@@ -497,6 +497,25 @@ class Collection:
     def _id_key(_id):
         return str(_id) if isinstance(_id, ObjectId) else _id
 
+    def _candidates(self, filter: dict | None) -> list:
+        """(key, doc) pairs that can possibly match ``filter``.
+
+        Point-lookup fast path: an equality ``_id`` filter resolves through
+        the _id-keyed dict instead of scanning the collection — the hottest
+        query shape (nearly every api/domain read is find_one by _id).
+        Callers still run ``_match_doc`` on the result: ``_id_key`` collapses
+        ObjectId/str for keying while ``_values_equal`` keeps them distinct,
+        and the filter may carry further conditions."""
+        if filter:
+            fid = filter.get("_id")
+            if fid is not None and not isinstance(fid, (dict, list)):
+                try:
+                    doc = self._docs.get(self._id_key(fid))
+                except TypeError:  # unhashable exotic _id — scan
+                    return list(self._docs.items())
+                return [(self._id_key(fid), doc)] if doc is not None else []
+        return list(self._docs.items())
+
     def _check_unique(self, doc, exclude_key=None):
         for fields in self._unique:
             probe = {}
@@ -539,7 +558,8 @@ class Collection:
     def find(self, filter: dict | None = None, projection: dict | None = None) -> Cursor:
         with self._lock:
             filter = filter or {}
-            docs = [d for d in self._docs.values() if _match_doc(d, filter)]
+            docs = [d for _, d in self._candidates(filter)
+                    if _match_doc(d, filter)]
             # deep-copy happens at projection time in Cursor._resolved
             return Cursor([copy.deepcopy(d) for d in docs], projection)
 
@@ -555,7 +575,8 @@ class Collection:
     def count_documents(self, filter: dict | None = None) -> int:
         filter = filter or {}
         with self._lock:
-            return sum(1 for d in self._docs.values() if _match_doc(d, filter))
+            return sum(1 for _, d in self._candidates(filter)
+                       if _match_doc(d, filter))
 
     def estimated_document_count(self) -> int:
         return len(self._docs)
@@ -575,7 +596,7 @@ class Collection:
     def _update(self, filter, update, upsert, many) -> UpdateResult:
         with self._lock:
             matched = modified = 0
-            for key, doc in list(self._docs.items()):
+            for key, doc in self._candidates(filter):
                 if _match_doc(doc, filter):
                     matched += 1
                     work = copy.deepcopy(doc)
@@ -618,7 +639,8 @@ class Collection:
         """return_document: False = BEFORE (pymongo default), True = AFTER."""
         with self._lock:
             candidates = [
-                (k, d) for k, d in self._docs.items() if _match_doc(d, filter)
+                (k, d) for k, d in self._candidates(filter)
+                if _match_doc(d, filter)
             ]
             if sort and candidates:
                 for key, direction in reversed(
@@ -648,7 +670,7 @@ class Collection:
     # -- deletes
     def delete_one(self, filter) -> DeleteResult:
         with self._lock:
-            for key, doc in list(self._docs.items()):
+            for key, doc in self._candidates(filter):
                 if _match_doc(doc, filter):
                     del self._docs[key]
                     self._db._mark_dirty()
@@ -657,7 +679,8 @@ class Collection:
 
     def delete_many(self, filter) -> DeleteResult:
         with self._lock:
-            victims = [k for k, d in self._docs.items() if _match_doc(d, filter)]
+            victims = [k for k, d in self._candidates(filter)
+                       if _match_doc(d, filter)]
             for k in victims:
                 del self._docs[k]
             if victims:

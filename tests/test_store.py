@@ -377,3 +377,57 @@ def test_file_uri_selects_persistent_backend(tmp_path):
     assert ds2.companies.find_one({"companyName": "PersistCo"}) is not None
     ds1.db.close()
     ds2.db.close()
+
+
+def test_id_point_lookup_fast_path_semantics(db):
+    """find/update/delete with an equality _id filter route through the
+    _id-keyed dict (no collection scan) but must keep full filter
+    semantics: strict ObjectId/str typing and additional conditions."""
+    col = db["c"]
+    oid = ObjectId()
+    col.insert_one({"_id": oid, "status": "queued", "n": 1})
+    col.insert_one({"_id": "plain-string-id", "status": "done"})
+
+    # hex string must NOT match an ObjectId _id even though the storage
+    # key collides (_id_key collapses both to the hex string)
+    assert col.find_one({"_id": str(oid)}) is None
+    assert col.find_one({"_id": oid})["n"] == 1
+    assert col.find_one({"_id": "plain-string-id"})["status"] == "done"
+
+    # extra filter conditions still apply on the point lookup
+    assert col.find_one({"_id": oid, "status": "done"}) is None
+    assert col.update_one({"_id": oid, "status": "done"},
+                          {"$set": {"n": 9}}).matched_count == 0
+    assert col.update_one({"_id": oid, "status": "queued"},
+                          {"$set": {"n": 2}}).modified_count == 1
+    assert col.find_one({"_id": oid})["n"] == 2
+    assert col.count_documents({"_id": oid}) == 1
+    assert col.delete_one({"_id": str(oid)}).deleted_count == 0
+    assert col.delete_many({"_id": oid}).deleted_count == 1
+    # operator-shaped _id filters fall back to the scan
+    col.insert_one({"_id": "a"})
+    col.insert_one({"_id": "b"})
+    assert col.count_documents({"_id": {"$in": ["a", "b"]}}) == 2
+
+
+def test_id_point_lookup_is_not_a_scan(db):
+    """Comparative bound (robust to machine speed): 300 _id lookups in a
+    30k-doc collection must cost far less than 30 full scans."""
+    import time
+
+    col = db["c"]
+    ids = [ObjectId() for _ in range(30_000)]
+    for i, oid in enumerate(ids):
+        col.insert_one({"_id": oid, "i": i})
+
+    t0 = time.perf_counter()
+    for oid in ids[::100]:  # 300 point lookups
+        assert col.find_one({"_id": oid}) is not None
+    t_point = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(30):  # 30 scans (non-indexed field equality)
+        assert col.find_one({"i": i * 997}) is not None
+    t_scan = time.perf_counter() - t0
+
+    assert t_point < t_scan, (t_point, t_scan)
