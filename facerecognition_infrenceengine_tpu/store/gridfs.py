@@ -84,25 +84,53 @@ class GridFS:
         self._files.insert_one(doc)
         n = 0
         for off in range(0, max(len(data), 1), CHUNK_SIZE):
+            # addressable chunk _id so reads are O(chunks-of-this-file)
+            # point lookups, not a scan of the whole bucket (a 1M-embedding
+            # gallery load would otherwise be quadratic); files_id/n stay
+            # for GridFS layout compatibility and legacy snapshots
             self._chunks.insert_one(
-                {"files_id": file_id, "n": n, "data": data[off: off + CHUNK_SIZE]}
+                {"_id": self._chunk_id(file_id, n), "files_id": file_id,
+                 "n": n, "data": data[off: off + CHUNK_SIZE]}
             )
             n += 1
         return file_id
+
+    @staticmethod
+    def _chunk_id(file_id, n: int) -> str:
+        return f"{file_id}:{n}"
+
+    @staticmethod
+    def _n_chunks(length: int) -> int:
+        return max(1, -(-length // CHUNK_SIZE))
 
     def get(self, file_id) -> GridOut:
         file_id = ObjectId(file_id) if not isinstance(file_id, ObjectId) else file_id
         doc = self._files.find_one({"_id": file_id})
         if doc is None:
             raise NoFile(f"no file in gridfs with _id {file_id}")
-        chunks = self._chunks.find({"files_id": file_id}).sort("n", 1)
-        data = b"".join(c["data"] for c in chunks)
-        return GridOut(doc, data)
+        parts = []
+        for n in range(self._n_chunks(doc.get("length", 0))):
+            c = self._chunks.find_one({"_id": self._chunk_id(file_id, n)})
+            if c is None:
+                parts = None  # legacy layout (pre-addressable chunk ids)
+                break
+            parts.append(c["data"])
+        if parts is None:
+            chunks = self._chunks.find({"files_id": file_id}).sort("n", 1)
+            parts = [c["data"] for c in chunks]
+        return GridOut(doc, b"".join(parts))
 
     def delete(self, file_id):
         file_id = ObjectId(file_id) if not isinstance(file_id, ObjectId) else file_id
+        doc = self._files.find_one({"_id": file_id})
         self._files.delete_many({"_id": file_id})
-        self._chunks.delete_many({"files_id": file_id})
+        deleted = 0
+        if doc is not None:
+            for n in range(self._n_chunks(doc.get("length", 0))):
+                deleted += self._chunks.delete_one(
+                    {"_id": self._chunk_id(file_id, n)}).deleted_count
+        if doc is None or deleted < self._n_chunks(doc.get("length", 0)):
+            self._chunks.delete_many({"files_id": file_id})  # legacy sweep
 
     def exists(self, file_id_or_query) -> bool:
         if isinstance(file_id_or_query, dict):

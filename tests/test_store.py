@@ -431,3 +431,34 @@ def test_id_point_lookup_is_not_a_scan(db):
     t_scan = time.perf_counter() - t0
 
     assert t_point < t_scan, (t_point, t_scan)
+
+
+def test_gridfs_point_lookup_chunks_and_legacy_fallback(db):
+    from facerecognition_infrenceengine_tpu.store.gridfs import (
+        CHUNK_SIZE, GridFS)
+
+    fs = GridFS(db, "bucket")
+    big = bytes(range(256)) * ((2 * CHUNK_SIZE + 1000) // 256 + 1)
+    fid = fs.put(big, filename="big.bin")
+    assert fs.get(fid).read() == big  # 3-chunk roundtrip via point lookups
+
+    # legacy layout (pre-addressable chunk ids): ObjectId chunk _ids,
+    # only files_id/n fields — reads must fall back to the files_id scan
+    legacy_id = ObjectId()
+    db["bucket.files"].insert_one({"_id": legacy_id, "length": len(big),
+                                   "chunkSize": CHUNK_SIZE, "filename": "l"})
+    for n in range(3):
+        db["bucket.chunks"].insert_one(
+            {"files_id": legacy_id, "n": n,
+             "data": big[n * CHUNK_SIZE:(n + 1) * CHUNK_SIZE]})
+    assert fs.get(legacy_id).read() == big
+    fs.delete(legacy_id)  # legacy sweep removes scan-layout chunks
+    assert db["bucket.chunks"].count_documents({"files_id": legacy_id}) == 0
+
+    fs.delete(fid)
+    assert db["bucket.chunks"].count_documents({}) == 0
+    assert db["bucket.files"].count_documents({}) == 0
+
+    # empty payload still roundtrips (single empty chunk)
+    eid = fs.put(b"", filename="empty")
+    assert fs.get(eid).read() == b""
