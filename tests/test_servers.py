@@ -181,3 +181,41 @@ def test_server_dashboards_serve_and_poll_own_api(cfg):
         for ref in re.findall(r'(?:src|href)="([^"]+)"', html):
             assert not ref.startswith(("http://", "https://", "//")), ref
         assert "http://" not in html and "https://" not in html
+
+
+def test_dashboard_field_contract(cfg):
+    """Every JSON field the dashboards render must exist in the live
+    endpoint responses (no JS runtime here, so pin the contract by name)."""
+    ds = Datastore(cfg)
+    gallery = GalleryManager(ds, cfg)
+    cm = CameraManager(gallery, cfg=cfg)
+    inf = build_inference_app(gallery, cm).test_client()
+    stats = inf.get("/api/embeddings/stats").get_json()
+    for field in ("total_embeddings", "employees", "visitors", "last_sync"):
+        assert field in stats, field
+    metrics = inf.get("/api/metrics").get_json()
+    for field in ("counters", "gauges", "timers"):
+        assert field in metrics, field
+
+    manager = CampusPeopleManager(ds, cfg, start_background=False)
+    manager.register_camera("cam_in", "campusA", CameraType.ENTRY)
+    t0 = datetime.datetime(2026, 8, 16, 9, 0, 0)
+    meta = {"name": "Asha", "type": "employee", "employeeId": "E1"}
+    manager.process_detection("p1", meta, "cam_in", t0, 0.9)
+    manager.process_detection(  # 2nd sighting >=2s later confirms entry
+        "p1", meta, "cam_in", t0 + datetime.timedelta(seconds=3), 0.9)
+    cnt = build_count_app(manager).test_client()
+    summary = cnt.get("/api/analytics/summary").get_json()
+    assert summary["success"]
+    d = summary["data"]
+    for field in ("total_inside", "total_entries_today", "total_exits_today",
+                  "total_unknown_today", "total_campuses", "campus_breakdown"):
+        assert field in d, field
+    for field in ("current_inside", "employees_inside", "visitors_inside",
+                  "total_entries_today", "total_exits_today",
+                  "unknown_detections_today"):
+        assert field in d["campus_breakdown"]["campusA"], field
+    ev = cnt.get("/api/campus/campusA/events?limit=5").get_json()
+    assert ev["success"] and isinstance(ev["data"], list)
+    unk = cnt.get("/api/campus/campusA/unknown").get_json()
+    assert unk["success"] and isinstance(unk["data"], list)
