@@ -487,6 +487,10 @@ class Collection:
         self._docs: dict = {}  # _id-key -> doc
         self._indexes: list = []
         self._unique: list = []  # list of tuple(field names)
+        # equality hash maps per leftmost index field (Mongo's prefix rule):
+        # field -> {hashable value key -> set of _id-keys}, or None once a
+        # multikey/unhashable value disables that field's map (scans resume)
+        self._field_maps: dict = {}
 
     # -- helpers
     @property
@@ -497,15 +501,66 @@ class Collection:
     def _id_key(_id):
         return str(_id) if isinstance(_id, ObjectId) else _id
 
+    # -- equality hash indexes (leftmost field of each created index)
+    @staticmethod
+    def _hkey(value):
+        # aligns with _values_equal: ObjectId never collides with its hex
+        # string; everything else compares with plain ==
+        return ("oid", str(value)) if isinstance(value, ObjectId) else value
+
+    def _index_add(self, key, doc):
+        for field, m in self._field_maps.items():
+            if m is None:
+                continue
+            exists, val = _get_path(doc, field)
+            if not exists:
+                continue
+            if isinstance(val, (list, dict)):
+                # multikey/unhashable: disable this field's map for good —
+                # array-contains equality semantics can't key a hash map
+                self._field_maps[field] = None
+                continue
+            try:
+                m.setdefault(self._hkey(val), set()).add(key)
+            except TypeError:
+                self._field_maps[field] = None
+
+    def _index_remove(self, key, doc):
+        for field, m in self._field_maps.items():
+            if m is None:
+                continue
+            exists, val = _get_path(doc, field)
+            if not exists or isinstance(val, (list, dict)):
+                continue
+            try:
+                bucket = m.get(self._hkey(val))
+            except TypeError:
+                continue
+            if bucket is not None:
+                bucket.discard(key)
+                if not bucket:
+                    m.pop(self._hkey(val), None)
+
+    def _rebuild_indexes(self):
+        self._field_maps = {ix["fields"][0]: {} for ix in self._indexes
+                            if ix["fields"] and ix["fields"][0] != "_id"}
+        for key, doc in self._docs.items():
+            self._index_add(key, doc)
+
     def _candidates(self, filter: dict | None) -> list:
         """(key, doc) pairs that can possibly match ``filter``.
 
-        Point-lookup fast path: an equality ``_id`` filter resolves through
-        the _id-keyed dict instead of scanning the collection — the hottest
-        query shape (nearly every api/domain read is find_one by _id).
-        Callers still run ``_match_doc`` on the result: ``_id_key`` collapses
-        ObjectId/str for keying while ``_values_equal`` keeps them distinct,
-        and the filter may carry further conditions."""
+        Point-lookup fast paths (callers still run ``_match_doc`` on the
+        result — the maps only narrow, semantics stay with the matcher):
+        1. an equality ``_id`` filter resolves through the _id-keyed dict
+           (``_id_key`` collapses ObjectId/str for keying while
+           ``_values_equal`` keeps them distinct);
+        2. an equality filter on an indexed leftmost field resolves through
+           that field's hash map (Mongo's index prefix rule) — e.g. the
+           campus flush loop's {person_id, campus_id} updates and the job
+           queue's {status: queued} claims stop scanning the collection.
+        ``None`` equality bypasses the maps: a literal None also matches
+        documents missing the field entirely (_match_value)."""
         if filter:
             fid = filter.get("_id")
             if fid is not None and not isinstance(fid, (dict, list)):
@@ -514,6 +569,18 @@ class Collection:
                 except TypeError:  # unhashable exotic _id — scan
                     return list(self._docs.items())
                 return [(self._id_key(fid), doc)] if doc is not None else []
+            for field, m in self._field_maps.items():
+                if m is None:
+                    continue
+                val = filter.get(field)
+                if val is None or isinstance(val, (dict, list)):
+                    continue
+                try:
+                    keys = m.get(self._hkey(val), ())
+                except TypeError:
+                    continue
+                return [(k, self._docs[k]) for k in list(keys)
+                        if k in self._docs]
         return list(self._docs.items())
 
     def _check_unique(self, doc, exclude_key=None):
@@ -524,7 +591,24 @@ class Collection:
                 probe[f] = val if exists else None
             if all(v is None for v in probe.values()):
                 continue
-            for key, other in self._docs.items():
+            # narrow through the lead-field hash map when usable (every
+            # created index registers one): insert cost drops from O(docs)
+            # to O(bucket); comparisons below keep exact semantics
+            candidates = None
+            lead = fields[0]
+            m = self._field_maps.get(lead)
+            pl = probe.get(lead)
+            if m is not None and pl is not None and not isinstance(pl, (dict, list)):
+                try:
+                    keys = m.get(self._hkey(pl), ())
+                except TypeError:
+                    keys = None
+                if keys is not None:
+                    candidates = [(k, self._docs[k]) for k in list(keys)
+                                  if k in self._docs]
+            if candidates is None:
+                candidates = self._docs.items()
+            for key, other in candidates:
                 if key == exclude_key:
                     continue
                 if all(_values_equal(_get_path(other, f)[1], probe[f]) for f in fields):
@@ -543,6 +627,7 @@ class Collection:
                 raise DuplicateKeyError(f"duplicate _id {doc['_id']}")
             self._check_unique(doc)
             self._docs[key] = doc
+            self._index_add(key, doc)
             self._db._mark_dirty()
             # mirror pymongo: inserted _id is visible on the caller's dict
             document.setdefault("_id", doc["_id"])
@@ -604,7 +689,9 @@ class Collection:
                         self._check_unique(work, exclude_key=key)
                         if self._id_key(work.get("_id")) != key:
                             raise ValueError("_id is immutable")
+                        self._index_remove(key, doc)
                         self._docs[key] = work
+                        self._index_add(key, work)
                         self._db._mark_dirty()
                         modified += 1
                     if not many:
@@ -621,6 +708,7 @@ class Collection:
                 base.setdefault("_id", ObjectId())
                 self._check_unique(base)
                 self._docs[self._id_key(base["_id"])] = base
+                self._index_add(self._id_key(base["_id"]), base)
                 self._db._mark_dirty()
                 return UpdateResult(0, 0, upserted_id=base["_id"])
             return UpdateResult(matched, modified)
@@ -658,7 +746,9 @@ class Collection:
                     if work.get("_id") != doc.get("_id"):
                         raise ValueError("_id is immutable")
                     self._check_unique(work, exclude_key=key)
+                    self._index_remove(key, doc)
                     self._docs[key] = work
+                    self._index_add(key, work)
                     self._db._mark_dirty()
                 return copy.deepcopy(work) if return_document else before
             if upsert:
@@ -672,6 +762,7 @@ class Collection:
         with self._lock:
             for key, doc in self._candidates(filter):
                 if _match_doc(doc, filter):
+                    self._index_remove(key, doc)
                     del self._docs[key]
                     self._db._mark_dirty()
                     return DeleteResult(1)
@@ -679,9 +770,10 @@ class Collection:
 
     def delete_many(self, filter) -> DeleteResult:
         with self._lock:
-            victims = [k for k, d in self._candidates(filter)
+            victims = [(k, d) for k, d in self._candidates(filter)
                        if _match_doc(d, filter)]
-            for k in victims:
+            for k, d in victims:
+                self._index_remove(k, d)
                 del self._docs[k]
             if victims:
                 self._db._mark_dirty()
@@ -747,6 +839,23 @@ class Collection:
                                   **{k: v for k, v in kwargs.items() if k != "name"}})
             if unique and fields not in self._unique:
                 self._unique.append(fields)
+            lead = fields[0] if fields else None
+            if lead and lead != "_id" and lead not in self._field_maps:
+                self._field_maps[lead] = {}
+                for key, doc in self._docs.items():
+                    # single-field add for just the new map
+                    exists, val = _get_path(doc, lead)
+                    if not exists:
+                        continue
+                    if isinstance(val, (list, dict)):
+                        self._field_maps[lead] = None
+                        break
+                    try:
+                        self._field_maps[lead].setdefault(
+                            self._hkey(val), set()).add(key)
+                    except TypeError:
+                        self._field_maps[lead] = None
+                        break
             self._db._mark_dirty()
         return name
 
@@ -759,6 +868,7 @@ class Collection:
             self._docs.clear()
             self._indexes.clear()
             self._unique.clear()
+            self._field_maps.clear()
             self._db._mark_dirty()
 
     # -- aggregate (subset: $match, $sort, $skip, $limit, $project, $group,
@@ -920,6 +1030,7 @@ class Database:
             col._docs = payload["docs"]
             col._indexes = payload["indexes"]
             col._unique = payload["unique"]
+            col._rebuild_indexes()  # hash maps are derived, never persisted
 
     def flush(self):
         """Write a consistent snapshot if anything changed (atomic rename)."""

@@ -462,3 +462,79 @@ def test_gridfs_point_lookup_chunks_and_legacy_fallback(db):
     # empty payload still roundtrips (single empty chunk)
     eid = fs.put(b"", filename="empty")
     assert fs.get(eid).read() == b""
+
+
+def test_equality_index_maps_stay_consistent(db):
+    """Leftmost-index-field hash maps must track every mutation path and
+    never change result sets (candidates are re-verified by _match_doc)."""
+    col = db["c"]
+    col.create_index([("campus_id", 1), ("status", 1)])
+
+    col.insert_one({"_id": "p1", "campus_id": "A", "status": "inside"})
+    col.insert_one({"_id": "p2", "campus_id": "A", "status": "outside"})
+    col.insert_one({"_id": "p3", "campus_id": "B", "status": "inside"})
+    assert col.count_documents({"campus_id": "A"}) == 2
+    assert col.count_documents({"campus_id": "A", "status": "inside"}) == 1
+
+    # update moves a doc between buckets
+    col.update_one({"_id": "p2"}, {"$set": {"campus_id": "B"}})
+    assert col.count_documents({"campus_id": "A"}) == 1
+    assert col.count_documents({"campus_id": "B"}) == 2
+
+    # find_one_and_update and delete maintain the map
+    col.find_one_and_update({"campus_id": "B", "status": "outside"},
+                            {"$set": {"campus_id": "C"}})
+    assert col.count_documents({"campus_id": "C"}) == 1
+    col.delete_many({"campus_id": "B"})
+    assert col.count_documents({"campus_id": "B"}) == 0
+
+    # upsert through an indexed filter lands in the right bucket
+    col.update_one({"campus_id": "D", "person": "x"},
+                   {"$set": {"status": "inside"}}, upsert=True)
+    assert col.count_documents({"campus_id": "D"}) == 1
+
+    # None equality must bypass the map: literal None also matches docs
+    # missing the field entirely
+    col.insert_one({"_id": "nof"})  # no campus_id at all
+    col.insert_one({"_id": "nul", "campus_id": None})
+    assert col.count_documents({"campus_id": None}) == 2
+
+    # a multikey (list) value disables the map but keeps array-contains
+    # equality semantics via the scan
+    col.insert_one({"_id": "mk", "campus_id": ["A", "E"]})
+    assert col.count_documents({"campus_id": "E"}) == 1
+    assert col.count_documents({"campus_id": "A"}) == 2  # scalar + array
+
+
+def test_equality_index_rebuilt_from_snapshot(tmp_path):
+    d = str(tmp_path / "ds")
+    db1 = Database("t", persist_dir=d)
+    col = db1["c"]
+    col.create_index([("k", 1)])
+    col.insert_one({"k": "v", "n": 1})
+    db1.flush()
+    db2 = Database("t", persist_dir=d)
+    assert db2["c"]._field_maps["k"], "maps must be rebuilt on load"
+    assert db2["c"].find_one({"k": "v"})["n"] == 1
+    db1.close()
+    db2.close()
+
+
+def test_equality_index_is_not_a_scan(db):
+    import time
+
+    col = db["c"]
+    col.create_index([("status", 1)])
+    for i in range(30_000):
+        col.insert_one({"i": i, "status": "done" if i % 2 else "queued"})
+    col.insert_one({"i": -1, "status": "rare"})
+
+    t0 = time.perf_counter()
+    for _ in range(100):
+        assert col.find_one({"status": "rare"}) is not None
+    t_indexed = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(10):
+        assert col.find_one({"i": 29_999}) is not None  # unindexed scan
+    t_scan = time.perf_counter() - t0
+    assert t_indexed < t_scan, (t_indexed, t_scan)
