@@ -874,7 +874,13 @@ class Collection:
     # -- aggregate (subset: $match, $sort, $skip, $limit, $project, $group,
     #    $unwind, $count)
     def aggregate(self, pipeline: list) -> list:
-        docs = [d for d in self.find({})]
+        # a leading $match seeds through find() (index-narrowed, copies
+        # matches only) instead of deep-copying the whole collection
+        if pipeline and next(iter(pipeline[0])) == "$match":
+            docs = [d for d in self.find(pipeline[0]["$match"])]
+            pipeline = pipeline[1:]
+        else:
+            docs = [d for d in self.find({})]
         for stage in pipeline:
             (op, arg), = stage.items()
             if op == "$match":
