@@ -569,6 +569,7 @@ class Collection:
                 except TypeError:  # unhashable exotic _id — scan
                     return list(self._docs.items())
                 return [(self._id_key(fid), doc)] if doc is not None else []
+            best = None
             for field, m in self._field_maps.items():
                 if m is None:
                     continue
@@ -579,7 +580,14 @@ class Collection:
                     keys = m.get(self._hkey(val), ())
                 except TypeError:
                     continue
-                return [(k, self._docs[k]) for k in list(keys)
+                # most selective applicable map wins (e.g. prefer a
+                # companyId bucket over a huge status=queued bucket)
+                if best is None or len(keys) < len(best):
+                    best = keys
+                    if not best:
+                        break
+            if best is not None:
+                return [(k, self._docs[k]) for k in list(best)
                         if k in self._docs]
         return list(self._docs.items())
 
