@@ -129,3 +129,81 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
 
     sharded_step.shard_state = shard_state  # type: ignore[attr-defined]
     return sharded_step
+
+
+# --------------------------------------------------------------- fine-tune loop
+def save_checkpoint(ckpt_dir: str, state: dict, step: int) -> str:
+    """Persist a training state with orbax (atomic, versioned by step).
+
+    The reference has no checkpointing anywhere (SURVEY.md §5.4 — models
+    are inference-only); this is the resume story for the fine-tuning
+    capability this module adds.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()  # StandardCheckpointer saves asynchronously
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, target: dict | None = None
+                       ) -> tuple[dict, int] | None:
+    """Load the latest checkpoint under ``ckpt_dir`` (None when absent).
+
+    ``target`` (a live state of the same structure, e.g. fresh from
+    ``make_train_state``) restores typed pytree nodes — optax optimizer
+    states are NamedTuples that a bare restore would flatten to dicts.
+    Arrays come back on the default device; pass the result through
+    ``step.shard_state`` when resuming a mesh run.
+    """
+    import os
+    import re as _re
+
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(
+        (int(m.group(1)), name)
+        for name in os.listdir(ckpt_dir)
+        if (m := _re.fullmatch(r"step_(\d{8})", name))
+    )
+    if not steps:
+        return None
+    step, name = steps[-1]
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        state = ckptr.restore(path, jax.device_get(target))
+    else:
+        state = ckptr.restore(path)
+    return state, step
+
+
+def fit(step_fn: Callable, state: dict, batches, *,
+        ckpt_dir: str | None = None, ckpt_every: int = 100,
+        log_every: int = 10, logger: Callable[[str], None] = print,
+        start_step: int = 0):
+    """Drive ``step_fn`` over an iterable of (images, labels) batches.
+
+    Resumable: with ``ckpt_dir`` set, checkpoints land every ``ckpt_every``
+    steps and once more at the end; ``restore_checkpoint`` + ``start_step``
+    continue a run.  Returns (state, losses).
+    """
+    losses = []
+    step_no = start_step
+    for images, labels in batches:
+        state, loss = step_fn(state, images, labels)
+        step_no += 1
+        losses.append(float(loss))
+        if log_every and step_no % log_every == 0:
+            logger(f"step {step_no}: loss {losses[-1]:.4f}")
+        if ckpt_dir and step_no % ckpt_every == 0:
+            save_checkpoint(ckpt_dir, jax.device_get(state), step_no)
+    if ckpt_dir and step_no > start_step and step_no % ckpt_every != 0:
+        save_checkpoint(ckpt_dir, jax.device_get(state), step_no)
+    return state, losses
