@@ -109,6 +109,12 @@ class MultiDict(dict):
         return dict(self)
 
 
+MAX_BODY_BYTES = 64 * 1024 * 1024
+"""Request-body ceiling: the largest legitimate payload is a visitor
+registration (3 pose images + ID documents, a few MB each); reading an
+arbitrary Content-Length into memory is an OOM vector."""
+
+
 class Request:
     def __init__(self, environ: dict):
         self.environ = environ
@@ -122,6 +128,8 @@ class Request:
             length = int(environ.get("CONTENT_LENGTH") or 0)
         except ValueError:
             length = 0
+        if length > MAX_BODY_BYTES:
+            raise HTTPError(413, "request body too large")
         body = environ.get("wsgi.input")
         self._body = body.read(length) if (body and length) else b""
         self.args = MultiDict(
@@ -422,10 +430,11 @@ class App:
 
     # -- WSGI
     def __call__(self, environ, start_response):
-        req = Request(environ)
-        _local.request = req
+        method = environ.get("REQUEST_METHOD", "GET").upper()
         try:
             try:
+                req = Request(environ)  # raises 413 past MAX_BODY_BYTES
+                _local.request = req
                 resp = self._dispatch(req)
             except HTTPError as e:
                 resp = self._error_response(e)
@@ -437,7 +446,7 @@ class App:
         headers = dict(resp.headers)
         headers.setdefault("Content-Length", str(len(resp.data)))
         start_response(resp.status, list(headers.items()))
-        if req.method == "HEAD":
+        if method == "HEAD":
             return [b""]
         return [resp.data]
 

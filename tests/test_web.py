@@ -150,3 +150,25 @@ def test_real_socket_server(app):
         body = json.loads(resp.read())
     assert body["q"] == "z"
     server.shutdown()
+
+
+def test_oversize_body_rejected_413(monkeypatch):
+    """Content-Length past MAX_BODY_BYTES is refused before the body is
+    read into memory (OOM hardening; legitimate uploads are a few MB)."""
+    import io
+
+    from facerecognition_infrenceengine_tpu.web import framework
+
+    monkeypatch.setattr(framework, "MAX_BODY_BYTES", 1024)
+    app = framework.App("t")
+
+    @app.route("/echo", methods=["POST"])
+    def echo():
+        return framework.jsonify({"n": len(framework.request.get_data())})
+
+    c = app.test_client()
+    ok = c.post("/echo", data=b"x" * 512)
+    assert ok.status_code == 200 and ok.get_json()["n"] == 512
+    big = c.post("/echo", data=b"x" * 2048)
+    assert big.status_code == 413
+    assert "too large" in big.get_json()["error"]
