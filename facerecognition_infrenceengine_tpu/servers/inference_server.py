@@ -27,6 +27,7 @@ from . import dashboard_page
 
 def build_app(gallery: GalleryManager, camera_manager: CameraManager) -> App:
     app = App("inference-server")
+    app.enable_cors()  # reference infrenceServer.py:34 CORS(app)
 
     @app.route("/", methods=["GET"])
     def dashboard():

@@ -34,6 +34,7 @@ from . import dashboard_page
 
 def build_app(people_manager: CampusPeopleManager) -> App:
     app = App("people-count")
+    app.enable_cors()  # reference peopleCount.py:33,1018 CORS(app)
     ds = people_manager.ds
 
     @app.route("/", methods=["GET"])

@@ -336,6 +336,14 @@ class App:
         self._routes: list = []  # (regex, casts, methods, fn, rule)
         self._before: list[Callable] = []
         self._error_handlers: dict[int, Callable] = {}
+        self._cors = False
+
+    def enable_cors(self):
+        """flask_cors CORS(app) defaults (reference infrenceServer.py:34,
+        peopleCount.py:33): Access-Control-Allow-Origin: * on every
+        response and automatic OPTIONS preflight handling."""
+        self._cors = True
+        return self
 
     # -- registration
     def route(self, rule: str, methods=("GET",), **_):
@@ -435,7 +443,16 @@ class App:
             try:
                 req = Request(environ)  # raises 413 past MAX_BODY_BYTES
                 _local.request = req
-                resp = self._dispatch(req)
+                if self._cors and method == "OPTIONS":
+                    resp = Response(b"", 200, headers={
+                        "Access-Control-Allow-Methods":
+                            "GET, POST, PUT, PATCH, DELETE, OPTIONS",
+                        "Access-Control-Allow-Headers":
+                            req.headers.get("Access-Control-Request-Headers")
+                            or "*",
+                    })
+                else:
+                    resp = self._dispatch(req)
             except HTTPError as e:
                 resp = self._error_response(e)
             except Exception:
@@ -445,6 +462,8 @@ class App:
             _local.request = None
         headers = dict(resp.headers)
         headers.setdefault("Content-Length", str(len(resp.data)))
+        if self._cors:
+            headers.setdefault("Access-Control-Allow-Origin", "*")
         start_response(resp.status, list(headers.items()))
         if method == "HEAD":
             return [b""]

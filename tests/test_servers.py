@@ -219,3 +219,30 @@ def test_dashboard_field_contract(cfg):
     assert ev["success"] and isinstance(ev["data"], list)
     unk = cnt.get("/api/campus/campusA/unknown").get_json()
     assert unk["success"] and isinstance(unk["data"], list)
+
+
+def test_control_apis_enable_cors(cfg):
+    """The reference wraps both control-plane Flask apps in CORS(app)
+    (infrenceServer.py:34, peopleCount.py:33): every response carries
+    Access-Control-Allow-Origin: * and OPTIONS preflights succeed."""
+    ds = Datastore(cfg)
+    gallery = GalleryManager(ds, cfg)
+    cm = CameraManager(gallery, cfg=cfg)
+    inf = build_inference_app(gallery, cm).test_client()
+    manager = CampusPeopleManager(ds, cfg, start_background=False)
+    cnt = build_count_app(manager).test_client()
+
+    r = inf.get("/api/embeddings/stats")
+    assert r.headers.get("Access-Control-Allow-Origin") == "*"
+    r = inf.open("/api/embeddings/sync", method="OPTIONS")
+    assert r.status_code == 200
+    assert r.headers.get("Access-Control-Allow-Origin") == "*"
+    assert "POST" in r.headers.get("Access-Control-Allow-Methods", "")
+    r = cnt.get("/api/status")
+    assert r.headers.get("Access-Control-Allow-Origin") == "*"
+
+    # the main API app is same-origin with its UI; no CORS there
+    from facerecognition_infrenceengine_tpu.api import create_app
+    api = create_app(ds, cfg).test_client()
+    r = api.get("/bharatlytics/v1/health")
+    assert "Access-Control-Allow-Origin" not in r.headers
