@@ -246,3 +246,26 @@ def test_control_apis_enable_cors(cfg):
     api = create_app(ds, cfg).test_client()
     r = api.get("/bharatlytics/v1/health")
     assert "Access-Control-Allow-Origin" not in r.headers
+
+
+def test_dashboard_inline_scripts_parse_sane():
+    """Bracket balance for the dashboards' inline JS (single-file pages —
+    the /ui static checks don't cover them; no JS runtime exists here).
+    Strings are stripped BEFORE // comments so URLs in placeholders don't
+    masquerade as comments."""
+    import os
+    import re
+
+    from facerecognition_infrenceengine_tpu import servers
+
+    ddir = os.path.join(os.path.dirname(servers.__file__), "dashboards")
+    for name in sorted(os.listdir(ddir)):
+        s = open(os.path.join(ddir, name)).read()
+        js = s[s.index("<script>"):s.index("</script>")]
+        js = re.sub(r"'(?:\\.|[^'\\\n])*'", "''", js)
+        js = re.sub(r'"(?:\\.|[^"\\\n])*"', '""', js)
+        js = re.sub(r"`(?:\\.|[^`\\])*`", "``", js)
+        js = re.sub(r"//[^\n]*", "", js)
+        js = re.sub(r"/\*.*?\*/", "", js, flags=re.S)
+        for o, c in (("(", ")"), ("{", "}"), ("[", "]")):
+            assert js.count(o) == js.count(c), (name, o, js.count(o), js.count(c))
