@@ -1093,7 +1093,10 @@ class Database:
 
     def drop_collection(self, name: str):
         with self._lock:
-            self._collections.pop(name, None)
+            if self._collections.pop(name, None) is not None:
+                # the next snapshot must omit the dropped collection even if
+                # nothing else mutates before shutdown
+                self._mark_dirty()
 
     def command(self, cmd):
         if cmd == "ping" or cmd == {"ping": 1}:

@@ -363,6 +363,25 @@ def test_file_persistence_roundtrip(tmp_path):
     db2.close()
 
 
+def test_drop_collection_persists(tmp_path):
+    """drop_collection alone must dirty the db: with no later mutation, the
+    next flush has to omit the dropped collection or it resurrects on load."""
+    from facerecognition_infrenceengine_tpu.store.documents import Database
+
+    d = str(tmp_path / "store")
+    db1 = Database("testdb", persist_dir=d)
+    db1["gone"].insert_one({"x": 1})
+    db1["kept"].insert_one({"y": 2})
+    db1.flush()
+    db1.drop_collection("gone")
+    db1.close()  # flush; only the drop happened since the last flush
+
+    db2 = Database("testdb", persist_dir=d)
+    assert db2["gone"].count_documents({}) == 0
+    assert db2["kept"].count_documents({}) == 1
+    db2.close()
+
+
 def test_file_uri_selects_persistent_backend(tmp_path):
     from facerecognition_infrenceengine_tpu.core.config import Config, DBConfig
     from facerecognition_infrenceengine_tpu.store import Datastore
