@@ -38,8 +38,10 @@ def _env(name: str, default: Any, cast=None):
 class DBConfig:
     """Datastore endpoints (reference app/config/config.py:5-14)."""
 
-    # "memory://" selects the embedded store; a mongodb:// URI selects pymongo
-    # when installed.  Never default to a remote credentialed URI.
+    # "memory://" selects the embedded store; "file:///dir" persists it;
+    # "fre://host:port" shares one embedded store across processes via
+    # store.server; a mongodb:// URI selects pymongo when installed.
+    # Never default to a remote credentialed URI.
     mongodb_uri: str = field(default_factory=lambda: _env("MONGODB_URI", "memory://"))
     database_name: str = field(default_factory=lambda: _env("DATABASE_NAME", "bharatlytics"))
     # Optional on-disk persistence dir for the embedded store ("" = RAM only).

@@ -12,4 +12,6 @@ from .documents import (  # noqa: F401
 )
 from .gridfs import GridFS, NoFile  # noqa: F401
 from .client import Datastore, get_datastore, reset_datastores  # noqa: F401
+from .remote import RemoteDatabase  # noqa: F401
+from .server import StoreServer  # noqa: F401
 from .indexes import init_db, seed_templates  # noqa: F401

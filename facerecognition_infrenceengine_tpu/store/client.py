@@ -40,6 +40,18 @@ def _make_backend(cfg: Config):
                 "MONGODB_URI is set to a mongodb:// URI but pymongo is not "
                 "installed; install pymongo or use memory://"
             )
+    if uri.startswith("fre://"):
+        # shared embedded store served by store.server — the hermetic way to
+        # run api/inference/training/people_count as separate OS processes
+        # against one datastore (the reference's Atlas topology, SURVEY §0)
+        from . import remote
+
+        hostport = uri[len("fre://"):].rstrip("/")
+        host, _, port = hostport.rpartition(":")
+        db = remote.RemoteDatabase(host or "127.0.0.1", int(port or 27027),
+                                   name=cfg.db.database_name)
+        return (db, lambda name: gridfs.GridFS(db, collection=name),
+                documents.UpdateOne)
     persist_dir = ""
     if uri.startswith("file://"):
         persist_dir = uri[len("file://"):] or cfg.db.persist_dir

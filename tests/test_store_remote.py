@@ -1,0 +1,241 @@
+"""fre:// wire server: one embedded store shared by multiple processes.
+
+The reference's three processes coordinate through one MongoDB (SURVEY §0,
+§5.8); store.server + store.remote reproduce that topology hermetically.
+These tests run the real server (real sockets, real threads) in-process and
+via the Datastore fre:// URI; one test drives a genuine second OS process.
+"""
+
+import subprocess
+import sys
+import threading
+
+import pytest
+
+from facerecognition_infrenceengine_tpu.store import documents
+from facerecognition_infrenceengine_tpu.store.documents import (
+    DuplicateKeyError, BulkWriteError, InsertOne, UpdateOne, DeleteOne)
+from facerecognition_infrenceengine_tpu.store.gridfs import GridFS
+from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+from facerecognition_infrenceengine_tpu.store.remote import (
+    RemoteDatabase, dumps, loads, send_frame, recv_frame)
+from facerecognition_infrenceengine_tpu.store.server import StoreServer
+
+
+@pytest.fixture()
+def server():
+    srv = StoreServer(port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def rdb(server):
+    db = RemoteDatabase("127.0.0.1", server._port, name="testdb")
+    yield db
+    db.close()
+
+
+def test_crud_roundtrip(rdb):
+    col = rdb["people"]
+    oid = col.insert_one({"name": "A", "age": 30,
+                          "ref": ObjectId()}).inserted_id
+    col.insert_many([{"name": "B", "age": 25}, {"name": "C", "age": 35}])
+
+    doc = col.find_one({"_id": oid})
+    assert doc["name"] == "A" and isinstance(doc["ref"], ObjectId)
+
+    names = [d["name"] for d in col.find({}).sort("age", -1).skip(1).limit(1)]
+    assert names == ["A"]
+    # projection applies server-side
+    slim = col.find_one({"name": "B"}, {"age": 1, "_id": 0})
+    assert slim == {"age": 25}
+
+    r = col.update_many({"age": {"$gte": 30}}, {"$set": {"senior": True}})
+    assert (r.matched_count, r.modified_count) == (2, 2)
+    up = col.update_one({"name": "Z"}, {"$setOnInsert": {"age": 1},
+                                        "$set": {"name": "Z"}}, upsert=True)
+    assert up.upserted_id is not None
+
+    after = col.find_one_and_update(
+        {"name": "B"}, {"$inc": {"age": 1}}, return_document=True)
+    assert after["age"] == 26
+
+    assert col.count_documents({"senior": True}) == 2
+    assert sorted(col.distinct("name")) == ["A", "B", "C", "Z"]
+    agg = col.aggregate([{"$match": {"age": {"$gte": 26}}},
+                         {"$group": {"_id": None, "n": {"$sum": 1}}}])
+    assert agg[0]["n"] == 3
+
+    assert col.delete_one({"name": "Z"}).deleted_count == 1
+    assert col.delete_many({}).deleted_count == 3
+    assert rdb.command("ping") == {"ok": 1}
+
+
+def test_unique_index_and_bulk_errors_cross_the_wire(rdb):
+    col = rdb["u"]
+    col.create_index("email", unique=True)
+    assert "email_1" in col.index_information()
+    col.insert_one({"email": "a@x"})
+    with pytest.raises(DuplicateKeyError):
+        col.insert_one({"email": "a@x"})
+
+    r = col.bulk_write([
+        InsertOne({"email": "b@x"}),
+        UpdateOne({"email": "b@x"}, {"$set": {"ok": True}}),
+        DeleteOne({"email": "missing"}),
+    ])
+    assert (r.inserted_count, r.modified_count, r.deleted_count) == (1, 1, 0)
+    with pytest.raises(BulkWriteError) as ei:
+        col.bulk_write([InsertOne({"email": "a@x"}),
+                        InsertOne({"email": "never"})], ordered=True)
+    details = ei.value.details
+    assert details["writeErrors"][0]["index"] == 0
+    assert details["nInserted"] == 0
+    assert col.count_documents({"email": "never"}) == 0  # ordered stop
+
+
+def test_gridfs_over_remote(rdb):
+    fs = GridFS(rdb, collection="blobs")
+    payload = b"x" * (300 * 1024)  # multi-chunk
+    fid = fs.put(payload, filename="f.bin", companyId="c1")
+    out = fs.get(fid)
+    assert out.read() == payload and out.companyId == "c1"
+    fs.delete(fid)
+    with pytest.raises(Exception):
+        fs.get(fid)
+
+
+def test_job_claims_are_atomic_across_connections(server):
+    """The enrollment queue's cross-process contract: concurrent claimants
+    over separate connections never claim the same job twice."""
+    seed = RemoteDatabase("127.0.0.1", server._port, name="testdb")
+    jobs = seed["embeddingJobs"]
+    for i in range(40):
+        jobs.insert_one({"jobId": i, "status": "queued"})
+
+    claims: list = []
+    errors: list = []
+
+    def worker(worker_id):
+        db = RemoteDatabase("127.0.0.1", server._port, name="testdb")
+        try:
+            while True:
+                got = db["embeddingJobs"].find_one_and_update(
+                    {"status": "queued"},
+                    {"$set": {"status": "claimed", "workerId": worker_id}},
+                    return_document=True)
+                if got is None:
+                    return
+                claims.append(got["jobId"])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            db.close()
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    assert sorted(claims) == list(range(40))  # every job exactly once
+    assert jobs.count_documents({"status": "queued"}) == 0
+    seed.close()
+
+
+def test_auth_token_rejects_bad_clients():
+    srv = StoreServer(port=0, token="sekrit")
+    srv.start()
+    try:
+        with pytest.raises(ConnectionError):
+            RemoteDatabase("127.0.0.1", srv._port, token="wrong")
+        db = RemoteDatabase("127.0.0.1", srv._port, token="sekrit")
+        db["c"].insert_one({"x": 1})
+        assert db["c"].count_documents({}) == 1
+        db.close()
+    finally:
+        srv.stop()
+
+
+def test_restricted_unpickler_blocks_arbitrary_classes():
+    import pickle
+
+    evil = pickle.dumps(__import__("os").system)
+    with pytest.raises(pickle.UnpicklingError):
+        loads(evil)
+    # data types used by documents DO roundtrip
+    import datetime
+    import numpy as np
+
+    doc = {"when": datetime.datetime(2026, 1, 1),
+           "id": ObjectId(), "vec": np.arange(3.0), "blob": b"\x00\x01"}
+    back = loads(dumps(doc))
+    assert back["when"].year == 2026 and isinstance(back["id"], ObjectId)
+    assert back["vec"].tolist() == [0.0, 1.0, 2.0]
+
+
+def test_server_survives_hostile_frame(server, rdb):
+    """A frame whose pickle resolves a forbidden class must error out
+    without executing anything or killing the connection loop."""
+    import pickle
+    import socket
+
+    sock = socket.create_connection(("127.0.0.1", server._port), timeout=10)
+    send_frame(sock, dumps(("auth", "")))
+    assert loads(recv_frame(sock)) == ("ok", "authed")
+    send_frame(sock, pickle.dumps(("testdb", "c", "insert_one",
+                                   (__import__("os").system,), {})))
+    status = loads(recv_frame(sock))
+    assert status[0] == "err"
+    sock.close()
+    # server still serves the healthy client
+    assert rdb.command("ping") == {"ok": 1}
+
+
+def test_datastore_fre_uri_and_second_process(tmp_path):
+    """End to end: a server process persisted to disk, a Datastore in this
+    process and a REAL second OS process sharing it via MONGODB_URI."""
+    from facerecognition_infrenceengine_tpu.core.config import Config, DBConfig
+
+    srv = StoreServer(port=0, persist_dir=str(tmp_path / "snap"))
+    srv.start()
+    uri = f"fre://127.0.0.1:{srv._port}"
+    try:
+        from facerecognition_infrenceengine_tpu.store import Datastore
+
+        cfg = Config(db=DBConfig(mongodb_uri=uri, database_name="bharatlytics"))
+        ds = Datastore(cfg)
+        ds.companies.insert_one({"companyName": "WireCo"})
+        fid = ds.employee_images.put(b"jpegish", filename="a.jpg")
+
+        code = (
+            "import os\n"
+            f"os.environ['MONGODB_URI'] = {uri!r}\n"
+            "from facerecognition_infrenceengine_tpu.store import get_datastore\n"
+            "ds = get_datastore()\n"
+            "doc = ds.companies.find_one({'companyName': 'WireCo'})\n"
+            "assert doc is not None, 'doc not visible across processes'\n"
+            f"assert ds.employee_images.get(__import__('facerecognition_infrenceengine_tpu.store.objectid', fromlist=['ObjectId']).ObjectId({str(fid)!r})).read() == b'jpegish'\n"
+            "ds.companies.insert_one({'companyName': 'FromChild'})\n"
+            "print('child-ok')\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        assert "child-ok" in r.stdout
+        assert ds.companies.find_one({"companyName": "FromChild"}) is not None
+        ds.db.close()
+    finally:
+        srv.stop()  # flushes the file:// snapshot
+
+    # the persisted snapshot survives a server restart
+    srv2 = StoreServer(port=0, persist_dir=str(tmp_path / "snap"))
+    srv2.start()
+    try:
+        db = RemoteDatabase("127.0.0.1", srv2._port)
+        assert db["companies"].count_documents({"companyName": "WireCo"}) == 1
+        db.close()
+    finally:
+        srv2.stop()
