@@ -194,6 +194,66 @@ def test_server_survives_hostile_frame(server, rdb):
     assert rdb.command("ping") == {"ok": 1}
 
 
+def test_enrollment_worker_in_second_process(server):
+    """The reference topology end to end: the API process registers an
+    employee (jobs enqueued), a REAL separate worker OS process claims and
+    completes the job over the wire, and the API process sees the result."""
+    import cv2
+    import numpy as np
+
+    from facerecognition_infrenceengine_tpu.api import create_app
+    from facerecognition_infrenceengine_tpu.core.config import Config, DBConfig
+    from facerecognition_infrenceengine_tpu.domain.enrollment import JobStatus
+    from facerecognition_infrenceengine_tpu.models.zoo import encode_fake_face
+    from facerecognition_infrenceengine_tpu.store import Datastore
+
+    uri = f"fre://127.0.0.1:{server._port}"
+    cfg = Config(db=DBConfig(mongodb_uri=uri, database_name="bharatlytics"))
+    ds = Datastore(cfg)
+    app = create_app(ds, cfg)
+    client = app.test_client()
+    cid = client.post("/bharatlytics/v1/companies/seed").get_json()["company"]["_id"]
+
+    files = {}
+    for pose, j in zip(("center", "left", "right"), (0.0, 0.1, 0.2)):
+        ok, buf = cv2.imencode(".png", encode_fake_face(7, j))
+        assert ok
+        files[pose] = (f"{pose}.png", buf.tobytes(), "image/png")
+    r = client.post("/bharatlytics/v1/employees/register",
+                    data={"employeeId": "EW1", "employeeName": "Wire Worker",
+                          "companyId": cid}, files=files)
+    assert r.status_code == 200
+
+    code = (
+        "import os\n"
+        f"os.environ['MONGODB_URI'] = {uri!r}\n"
+        "from facerecognition_infrenceengine_tpu.domain.enrollment import FaceEmbeddingWorker\n"
+        "from facerecognition_infrenceengine_tpu.models.zoo import FakeFaceAnalysis\n"
+        "from facerecognition_infrenceengine_tpu.store import get_datastore\n"
+        "w = FaceEmbeddingWorker(get_datastore(),\n"
+        "                        detector=FakeFaceAnalysis(),\n"
+        "                        worker_id='wire-child')\n"
+        "print('processed:', w.process_available_jobs())\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "processed: 1" in r.stdout
+
+    job = ds.embedding_jobs.find_one({"model": "buffalo_l"})
+    assert job["status"] == JobStatus.DONE.value
+    assert job["workerId"] == "wire-child"
+    emp = ds.employee_info.find_one({"employeeId": "EW1"})
+    entry = emp["employeeEmbeddings"]["buffalo_l"]
+    assert entry["status"] == "done"
+    import pickle as _pickle
+
+    stored = _pickle.loads(
+        ds.employee_embeddings.get(entry["embeddingId"]).read())
+    assert isinstance(stored, np.ndarray) and stored.shape == (512,)
+    ds.db.close()
+
+
 def test_datastore_fre_uri_and_second_process(tmp_path):
     """End to end: a server process persisted to disk, a Datastore in this
     process and a REAL second OS process sharing it via MONGODB_URI."""
