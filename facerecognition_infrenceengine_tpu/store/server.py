@@ -64,6 +64,8 @@ class StoreServer:
         self._listener: socket.socket | None = None
         self._stopping = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._conns: set[socket.socket] = set()
+        self._conns_lock = threading.Lock()
 
     # -- lifecycle
     def start(self) -> tuple[str, int]:
@@ -83,11 +85,30 @@ class StoreServer:
 
     def stop(self):
         self._stopping.set()
+        # shutdown() BEFORE close(): close() alone does not wake a thread
+        # blocked in accept()/recv() — the kernel holds the socket open for
+        # the duration of the blocked syscall, leaving the port LISTENing
+        # after stop() and a same-port restart in EADDRINUSE
         if self._listener is not None:
             try:
+                try:
+                    self._listener.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
                 self._listener.close()
             finally:
                 self._listener = None
+        with self._conns_lock:
+            conns, self._conns = list(self._conns), set()
+        for conn in conns:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                conn.close()
+            except OSError:
+                pass
         with self._dbs_lock:
             for db in self._dbs.values():
                 db.close()  # flushes file:// snapshots
@@ -114,6 +135,11 @@ class StoreServer:
             except OSError:
                 return  # listener closed
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            # a dying connection (FIN_WAIT) must not block a server restart
+            # on the same port: every socket on the port needs REUSEADDR
+            conn.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            with self._conns_lock:
+                self._conns.add(conn)
             t = threading.Thread(target=self._serve_client, args=(conn,),
                                  daemon=True, name="fre-store-conn")
             t.start()
@@ -130,6 +156,9 @@ class StoreServer:
                     remote.send_frame(conn, self._handle(blob))
             except (ConnectionError, OSError):
                 return  # dead peer; per-connection state is nothing
+            finally:
+                with self._conns_lock:
+                    self._conns.discard(conn)
 
     def _handshake(self, conn: socket.socket) -> bool:
         blob = remote.recv_frame(conn)
