@@ -83,6 +83,36 @@ def main(n: int = 100_000) -> None:
     n_ops = len(fids[:: max(1, len(fids) // 100)])
     print(f"gridfs get ({len(fids):,}-file bucket): {(time.perf_counter() - t0) / n_ops * 1e6:6.1f} us/op")
 
+    # ---- fre:// wire overhead (store.server over loopback) ----
+    from facerecognition_infrenceengine_tpu.store.remote import RemoteDatabase
+    from facerecognition_infrenceengine_tpu.store.server import StoreServer
+
+    srv = StoreServer(port=0)
+    srv.start()
+    try:
+        rdb = RemoteDatabase("127.0.0.1", srv._port, name="bench")
+        rcol = rdb["wire"]
+        m = max(200, n // 100)
+        t0 = time.perf_counter()
+        for i in range(m):
+            rcol.insert_one({"i": i})
+        per = (time.perf_counter() - t0) / m
+        print(f"fre:// insert_one:             {per * 1e6:7.1f} us/op "
+              f"({1 / per:,.0f} ops/s over loopback)")
+        t0 = time.perf_counter()
+        rcol.insert_many([{"j": i} for i in range(m)])
+        per_batch = (time.perf_counter() - t0) / m
+        print(f"fre:// insert_many (1 frame):  {per_batch * 1e6:7.1f} us/doc")
+        oid = rcol.insert_one({"k": 1}).inserted_id
+        t0 = time.perf_counter()
+        for _ in range(m):
+            rcol.find_one({"_id": oid})
+        per = (time.perf_counter() - t0) / m
+        print(f"fre:// _id point lookup:       {per * 1e6:7.1f} us/op")
+        rdb.close()
+    finally:
+        srv.stop()
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 100_000)

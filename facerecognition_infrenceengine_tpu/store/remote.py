@@ -302,8 +302,11 @@ class RemoteCollection:
         return documents.InsertOneResult(inserted_id)
 
     def insert_many(self, docs) -> documents.InsertManyResult:
-        return documents.InsertManyResult(
-            [self.insert_one(d).inserted_id for d in docs])
+        docs = list(docs)
+        ids = self._db._call(self.name, "__insert_many__", docs)
+        for d, _id in zip(docs, ids):  # mirror pymongo: ids visible on inputs
+            d.setdefault("_id", _id)
+        return documents.InsertManyResult(ids)
 
     def _update_result(self, triple) -> documents.UpdateResult:
         return documents.UpdateResult(*triple)

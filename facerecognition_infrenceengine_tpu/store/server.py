@@ -184,6 +184,11 @@ class StoreServer:
                 if method not in _DB_METHODS:
                     raise ValueError(f"unsupported database method {method}")
                 value = getattr(db, method)(*args, **kwargs)
+            elif method == "__insert_many__":
+                # one frame for the whole batch (client-side insert_many);
+                # embedded insert_many is per-doc under the db lock, same
+                # stop-at-first-error semantics as pymongo ordered inserts
+                value = db[collection].insert_many(args[0]).inserted_ids
             elif method == "__find__":
                 filter, projection, sort, skip, limit = args
                 cur = db[collection].find(filter, projection)
