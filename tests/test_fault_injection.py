@@ -103,6 +103,51 @@ def test_sigkilled_worker_job_recovered_by_peer(tmp_path):
         srv.stop()
 
 
+def test_camera_auto_stops_after_consecutive_read_errors(monkeypatch):
+    """A dead camera (every read fails) must stop its own thread after
+    max_camera_errors consecutive failures (reference peopleCount.py:944-958)
+    instead of spinning forever."""
+    import cv2
+
+    from facerecognition_infrenceengine_tpu.core.config import (
+        CampusConfig, Config)
+    from facerecognition_infrenceengine_tpu.domain.campus import (
+        CameraType, CampusPeopleManager)
+    from facerecognition_infrenceengine_tpu.domain.counting import (
+        CameraStreamManager)
+    from facerecognition_infrenceengine_tpu.store import Datastore
+
+    class DeadCapture:
+        released = False
+
+        def __init__(self, source):
+            pass
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            return False, None
+
+        def release(self):
+            DeadCapture.released = True
+
+    monkeypatch.setattr(cv2, "VideoCapture", DeadCapture)
+    monkeypatch.setattr(time, "sleep", lambda s: None)  # skip 1 s backoffs
+
+    cfg = Config(campus=CampusConfig(max_camera_errors=3))
+    ds = Datastore(cfg)
+    manager = CampusPeopleManager(ds, cfg, start_background=False)
+    streams = CameraStreamManager(gallery=None, manager=manager, cfg=cfg)
+    streams.start_camera("cam_dead", "rtsp://nowhere", "campusA",
+                         CameraType.ENTRY)
+    thread = streams.camera_threads["cam_dead"]
+    thread.join(timeout=30)
+    assert not thread.is_alive(), "camera thread kept spinning on a dead feed"
+    assert DeadCapture.released
+    streams.stop_all()
+
+
 def test_client_survives_store_server_restart(tmp_path):
     """A store-server bounce under a live client: the persisted snapshot
     reloads and the client's next call reconnects transparently."""
