@@ -224,7 +224,11 @@ class RemoteDatabase:
 
 class RemoteCursor:
     """Mirrors ``documents.Cursor``: lazy sort/skip/limit, resolved in one
-    RPC so ordering/pagination happen next to the data."""
+    RPC so ordering/pagination happen next to the data.
+
+    Like pymongo (and unlike the embedded Cursor, which snapshots matches
+    at ``find()`` time), the query executes when the cursor is first
+    consumed — writes between ``find()`` and iteration are visible."""
 
     def __init__(self, col: "RemoteCollection", filter, projection):
         self._col = col

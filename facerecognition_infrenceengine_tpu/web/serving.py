@@ -17,6 +17,10 @@ from wsgiref.simple_server import WSGIRequestHandler, WSGIServer
 class _ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
     daemon_threads = True
     allow_reuse_address = True
+    # wsgiref's default listen backlog is 5: a burst of concurrent clients
+    # (every request is its own connection — no keep-alive) overflows it and
+    # the kernel RSTs the excess. Measured by the 16-thread load test.
+    request_queue_size = 128
 
 
 class _QuietHandler(WSGIRequestHandler):

@@ -152,6 +152,57 @@ def test_real_socket_server(app):
     server.shutdown()
 
 
+def test_concurrent_requests_real_server():
+    """16 threads hammer a real threaded server with interleaved reads and
+    writes: every response must be correct for ITS request (the request
+    threadlocal cannot bleed across handler threads) and the store-backed
+    counter must equal the number of writes (no lost updates)."""
+    from facerecognition_infrenceengine_tpu.web import App, jsonify, request
+    from facerecognition_infrenceengine_tpu.web.serving import serve
+    from facerecognition_infrenceengine_tpu.store import Datastore
+    from facerecognition_infrenceengine_tpu.core.config import Config
+
+    app = App("load")
+    ds = Datastore(Config())
+    ds.db["hits"].insert_one({"_id": "counter", "n": 0})
+
+    @app.route("/echo")
+    def echo():
+        return jsonify({"tag": request.args.get("tag")})
+
+    @app.route("/bump", methods=["POST"])
+    def bump():
+        ds.db["hits"].update_one({"_id": "counter"}, {"$inc": {"n": 1}})
+        return jsonify({"ok": True})
+
+    server = serve(app, "127.0.0.1", 0, background=True)
+    port = server.server_address[1]
+    errors: list = []
+
+    def client(worker):
+        try:
+            for i in range(25):
+                tag = f"w{worker}-{i}"
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/echo?tag={tag}",
+                        timeout=30) as resp:
+                    assert json.loads(resp.read())["tag"] == tag
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/bump", data=b"{}", method="POST")
+                urllib.request.urlopen(req, timeout=30).read()
+        except Exception as e:  # pragma: no cover
+            errors.append((worker, e))
+
+    threads = [threading.Thread(target=client, args=(w,)) for w in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    server.shutdown()
+    assert not errors, errors
+    assert ds.db["hits"].find_one({"_id": "counter"})["n"] == 16 * 25
+
+
 def test_oversize_body_rejected_413(monkeypatch):
     """Content-Length past MAX_BODY_BYTES is refused before the body is
     read into memory (OOM hardening; legitimate uploads are a few MB)."""
