@@ -251,6 +251,19 @@ def test_enrollment_worker_in_second_process(server):
     stored = _pickle.loads(
         ds.employee_embeddings.get(entry["embeddingId"]).read())
     assert isinstance(stored, np.ndarray) and stored.shape == (512,)
+
+    # close the reference's L3 loop: the serving process's gallery syncs the
+    # child's enrollment through the wire store and matches a fresh capture
+    from facerecognition_infrenceengine_tpu.engine.gallery import GalleryManager
+    from facerecognition_infrenceengine_tpu.models.zoo import fake_embedding
+
+    gallery = GalleryManager(ds, cfg, mesh=None)
+    assert gallery.get_stats()["total_embeddings"] == 1
+    scores, ids, meta = gallery.match(fake_embedding(7, 0.05)[None],
+                                      company_id=cid)
+    assert ids[0][0] is not None
+    assert meta[ids[0][0]]["employeeId"] == "EW1"
+    assert scores[0][0] > 0.9
     ds.db.close()
 
 
