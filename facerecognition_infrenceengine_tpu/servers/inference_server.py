@@ -72,6 +72,49 @@ def build_app(gallery: GalleryManager, camera_manager: CameraManager) -> App:
     # ---- observability (SURVEY.md §5.1/§5.5; the reference has none) ----
     from ..core import metrics
 
+    @app.route("/api/engine/recalibrate-int8", methods=["POST"])
+    def recalibrate_int8():
+        """Recalibrate the opt-in int8 embedder's activation scales from
+        REAL aligned face crops (multipart images, any field names).
+
+        The build-time calibration is deterministic structured synthetic
+        data (engine/pipeline.py _calibration_crops); with converted
+        production weights, operators should re-derive scales from a
+        handful of real enrollment crops — this route is that hook,
+        exposed operationally (engine.recalibrate_int8)."""
+        import numpy as np
+
+        from .. import native
+
+        face_app = camera_manager.face_app
+        engine = getattr(face_app, "_engine", None) if face_app else None
+        if engine is None:
+            return jsonify({"status": "error",
+                            "message": "engine not initialized yet "
+                                       "(start cameras first)"}), 503
+        crops = []
+        size = engine.cfg.embed_size
+        try:
+            for key in request.files:
+                for f in request.files.getlist(key):
+                    img = native.decode_image(f.read())
+                    if img.shape[:2] != (size, size):
+                        img = native.resize_bilinear(img, size, size)
+                    crops.append(img)
+        except Exception as e:
+            return jsonify({"status": "error",
+                            "message": f"bad crop image: {e}"}), 400
+        if not crops:
+            return jsonify({"status": "error",
+                            "message": "no crop images supplied"}), 400
+        try:
+            engine.recalibrate_int8(np.stack(crops))
+        except ValueError as e:  # engine built without embed_int8
+            return jsonify({"status": "error", "message": str(e)}), 400
+        return jsonify({"status": "success", "crops": len(crops),
+                        "calibration": getattr(engine, "_int8_calibration",
+                                               None)})
+
     @app.route("/api/metrics", methods=["GET"])
     def get_metrics():
         return jsonify(metrics.snapshot())

@@ -49,6 +49,67 @@ def test_inference_control_api(cfg):
     assert r.get_json()["status"] == "success"
 
 
+def test_recalibrate_int8_route(cfg):
+    """Operational hook for int8 PTQ recalibration from real crops: 503
+    before the engine exists, 400 with no crops or on a non-int8 engine,
+    and decoded+resized uint8 crops reach engine.recalibrate_int8."""
+    import cv2
+    import numpy as np
+
+    ds = Datastore(cfg)
+    gallery = GalleryManager(ds, cfg)
+    cm = CameraManager(gallery, cfg=cfg)
+    app = build_inference_app(gallery, cm)
+    c = app.test_client()
+
+    # engine not up yet
+    r = c.post("/api/engine/recalibrate-int8", files={})
+    assert r.status_code == 503
+
+    class FakeEngine:
+        class cfg:
+            embed_size = 112
+
+        seen = None
+
+        def recalibrate_int8(self, crops):
+            if crops.shape[0] < 2:
+                raise ValueError("engine was not built with embed_int8")
+            FakeEngine.seen = np.asarray(crops)
+            self._int8_calibration = f"user({len(crops)} crops)"
+
+    class FakeApp:
+        _engine = FakeEngine()
+
+    cm.face_app = FakeApp()
+
+    r = c.post("/api/engine/recalibrate-int8", files={})
+    assert r.status_code == 400  # no crops
+
+    def crop_png(seed, hw=112):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 255, (hw, hw, 3), np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        return buf.tobytes()
+
+    # one crop -> the fake engine raises the not-int8 ValueError -> 400
+    r = c.post("/api/engine/recalibrate-int8",
+               files={"c0": ("c0.png", crop_png(0), "image/png")})
+    assert r.status_code == 400
+    assert "embed_int8" in r.get_json()["message"]
+
+    # three crops, one oversized (resized server-side) -> success
+    files = {f"c{i}": (f"c{i}.png", crop_png(i, 112 if i < 2 else 224),
+                       "image/png") for i in range(3)}
+    r = c.post("/api/engine/recalibrate-int8", files=files)
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    assert body["crops"] == 3 and "user(3" in body["calibration"]
+    assert FakeEngine.seen.shape == (3, 112, 112, 3)
+    assert FakeEngine.seen.dtype == np.uint8
+
+
 def test_people_count_api(cfg):
     ds = Datastore(cfg)
     manager = CampusPeopleManager(ds, cfg, start_background=False)
