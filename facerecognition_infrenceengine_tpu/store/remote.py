@@ -126,6 +126,13 @@ _ERROR_CLASSES = {
 }
 
 
+#: methods safe to replay after a connection loss mid-call (pure reads)
+_IDEMPOTENT = frozenset({
+    "__find__", "count_documents", "estimated_document_count", "distinct",
+    "aggregate", "index_information", "list_collection_names", "command",
+})
+
+
 class RemoteDatabase:
     """pymongo-shaped client for a ``store.server`` instance.
 
@@ -164,22 +171,28 @@ class RemoteDatabase:
             for attempt in (0, 1):
                 if self._sock is None:
                     self._connect()
+                sent = False
                 try:
                     send_frame(self._sock, request)
+                    sent = True
                     blob = recv_frame(self._sock)
                     if blob is None:
                         raise ConnectionError("store server closed connection")
                     break
                 except (ConnectionError, OSError):
-                    # one transparent reconnect (server restart, idle drop);
-                    # the request itself was never half-applied: the server
-                    # only executes after reading a complete frame
                     try:
                         if self._sock is not None:
                             self._sock.close()
                     finally:
                         self._sock = None
-                    if attempt:
+                    # One transparent reconnect, but never blind
+                    # at-least-once for writes: a frame that never fully left cannot have
+                    # executed (length-prefixed), and pure reads are safe to
+                    # replay regardless.  A WRITE that was fully sent may
+                    # already have applied server-side — retrying could
+                    # double-apply (e.g. $inc) — so that one error surfaces
+                    # and the caller decides.
+                    if attempt or (sent and method not in _IDEMPOTENT):
                         raise
         status = loads(blob)
         if status[0] == "ok":

@@ -145,6 +145,44 @@ def test_job_claims_are_atomic_across_connections(server):
     seed.close()
 
 
+def test_write_not_replayed_when_connection_dies_after_send(server, monkeypatch):
+    """A write whose frame was fully sent but whose response was lost must
+    NOT be silently retried (at-least-once would double-apply $inc); pure
+    reads are replayed transparently."""
+    from facerecognition_infrenceengine_tpu.store import remote as remote_mod
+
+    db = RemoteDatabase("127.0.0.1", server._port, name="testdb")
+    col = db["hits"]
+    col.insert_one({"_id": "ctr", "n": 0})
+
+    real_recv = remote_mod.recv_frame
+    state = {"drop_next": False}
+    me = threading.current_thread()
+
+    def flaky_recv(sock):
+        # the in-process StoreServer shares remote.recv_frame — inject the
+        # fault only on this (client) thread or the server handler races us
+        # for the drop and the scenario changes
+        if state["drop_next"] and threading.current_thread() is me:
+            state["drop_next"] = False
+            real_recv(sock)  # drain the response the server DID send
+            raise ConnectionError("injected: response lost after send")
+        return real_recv(sock)
+
+    monkeypatch.setattr(remote_mod, "recv_frame", flaky_recv)
+
+    state["drop_next"] = True
+    with pytest.raises((ConnectionError, OSError)):
+        col.update_one({"_id": "ctr"}, {"$inc": {"n": 1}})
+    # the server applied it exactly once; the client did not replay
+    assert col.find_one({"_id": "ctr"})["n"] == 1
+
+    # reads replay transparently through the same fault
+    state["drop_next"] = True
+    assert col.count_documents({"_id": "ctr"}) == 1
+    db.close()
+
+
 def test_auth_token_rejects_bad_clients():
     srv = StoreServer(port=0, token="sekrit")
     srv.start()
