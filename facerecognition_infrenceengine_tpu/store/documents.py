@@ -1101,4 +1101,15 @@ class Database:
     def command(self, cmd):
         if cmd == "ping" or cmd == {"ping": 1}:
             return {"ok": 1}
+        if cmd == "serverStatus" or cmd == {"serverStatus": 1}:
+            with self._lock:
+                return {
+                    "ok": 1,
+                    "db": self.name,
+                    "persisted": bool(self._persist_dir),
+                    "collections": {
+                        name: len(col._docs)
+                        for name, col in self._collections.items()
+                    },
+                }
         raise ValueError(f"unsupported command {cmd}")

@@ -71,6 +71,8 @@ def test_crud_roundtrip(rdb):
     assert col.delete_one({"name": "Z"}).deleted_count == 1
     assert col.delete_many({}).deleted_count == 3
     assert rdb.command("ping") == {"ok": 1}
+    status = rdb.command("serverStatus")
+    assert status["ok"] == 1 and status["collections"]["people"] == 0
 
 
 def test_unique_index_and_bulk_errors_cross_the_wire(rdb):
