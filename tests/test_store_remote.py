@@ -307,6 +307,41 @@ def test_enrollment_worker_in_second_process(server):
     ds.db.close()
 
 
+def test_campus_flush_and_state_resume_over_wire(server):
+    """The people-count process's write batching (bulk_write of UpdateOne
+    upserts + insert_many events) and restart state-resume both work against
+    the wire store — the topology where counting runs as its own process."""
+    import datetime
+
+    from facerecognition_infrenceengine_tpu.core.config import Config, DBConfig
+    from facerecognition_infrenceengine_tpu.domain.campus import (
+        CameraType, CampusPeopleManager, PersonStatus)
+    from facerecognition_infrenceengine_tpu.store import Datastore
+
+    uri = f"fre://127.0.0.1:{server._port}"
+    cfg = Config(db=DBConfig(mongodb_uri=uri))
+    ds = Datastore(cfg)
+    m = CampusPeopleManager(ds, cfg, start_background=False)
+    m.register_camera("cam_in", "campusA", CameraType.ENTRY)
+
+    t0 = datetime.datetime(2026, 8, 18, 9, 0, 0)
+    meta = {"name": "Asha", "type": "employee", "employeeId": "E1"}
+    m.process_detection("p1", meta, "cam_in", t0, 0.9)
+    m.process_detection("p1", meta, "cam_in",
+                        t0 + datetime.timedelta(seconds=2.5), 0.9)
+    assert m.people_states["p1"].status == PersonStatus.INSIDE
+    m.flush()  # bulk_write over the wire
+
+    assert ds.campus_events.count_documents({"event_type": "entry"}) == 1
+    # a fresh manager (process restart) resumes state from the wire store
+    ds2 = Datastore(cfg)
+    m2 = CampusPeopleManager(ds2, cfg, start_background=False)
+    m2.register_camera("cam_in", "campusA", CameraType.ENTRY)
+    assert m2.people_states["p1"].status == PersonStatus.INSIDE
+    ds.db.close()
+    ds2.db.close()
+
+
 def test_datastore_fre_uri_and_second_process(tmp_path):
     """End to end: a server process persisted to disk, a Datastore in this
     process and a REAL second OS process sharing it via MONGODB_URI."""
