@@ -234,6 +234,8 @@ async function initCompanyDetailsPage() {
   } catch (e) {
     toast(e.message, true);
   }
+  // the entity-tree tab boots itself (company-entities.js self-registers
+  // on data-page so pages sharing app.js don't need that script)
 }
 
 document.addEventListener('DOMContentLoaded', () => {

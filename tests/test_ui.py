@@ -298,3 +298,99 @@ def test_definition_editor_live_validation(client):
     for token in (".ed-feedback.ok", ".ed-feedback.fail", "input.invalid",
                   ".svg-node.drop-target", ".diagram-toolbar"):
         assert token in css, token
+
+
+def test_company_details_entity_tree_surface(client):
+    """The reference company-details page ships an entity-hierarchy tab
+    (jstree tree + select-node details pane + add-entity modal, reference
+    company-details.html:169-184,308-380); company-entities.js is the
+    dependency-free equivalent and company-details must load + wire it."""
+    html = client.get("/ui/company-details").text
+    for dom_id in ("entity-tree", "ent-detail", "add-entity-btn",
+                   "entity-modal", "entity-form", "em-name", "em-definition",
+                   "em-type", "em-parent", "em-attributes",
+                   "em-required-hint", "entity-count"):
+        assert f'id="{dom_id}"' in html, dom_id
+    assert "/ui/static/company-entities.js" in html
+    # must load before app.js (app.js dispatch calls initCompanyEntities)
+    assert html.index("company-entities.js") < html.index('"/ui/static/app.js"')
+    js = client.get("/ui/static/company-entities.js").text
+    for token in ("initCompanyEntities", "entityGlyph", "sessionStorage",
+                  "method: 'PUT'", "method: 'DELETE'", "requiredAttributes",
+                  "descendant", "tree-caret", "definitionId"):
+        assert token in js, token
+    # self-registering: pages sharing app.js don't need this script
+    assert "dataset.page !== 'company-details'" in js
+    css = client.get("/ui/static/style.css").text
+    for token in (".entity-tree", ".tree-row.selected", ".tree-caret",
+                  ".entity-detail"):
+        assert token in css, token
+
+
+def test_company_details_entity_tree_roundtrip(client):
+    """Drive exactly the endpoints company-entities.js uses: list
+    definitions + entities, create root/child (child created from the
+    selected node's 'Add child'), re-parent via PUT (the Edit modal's
+    parent select), then recursive delete from the details pane."""
+    cid = client.post("/bharatlytics/v1/companies/seed").get_json()["company"]["_id"]
+    templates = client.get("/bharatlytics/v1/entities/templates").get_json()
+    def_id = client.post(
+        "/bharatlytics/v1/entity-definitions/from-template",
+        json_body={"templateId": templates[0]["_id"], "companyId": cid,
+                   "name": "Tree RT"}).get_json()["id"]
+    defs = client.get(
+        f"/bharatlytics/v1/entity-definitions?companyId={cid}").get_json()
+    assert any(d["_id"] == def_id for d in defs)
+    etypes = next(d for d in defs if d["_id"] == def_id)["structure"]["entityTypes"]
+    root_type = next(iter(etypes))
+
+    def mk(name, etype, parent=None, attrs=None):
+        r = client.post("/bharatlytics/v1/entities", json_body={
+            "name": name, "type": etype, "companyId": cid,
+            "definitionId": def_id, "parentId": parent,
+            "attributes": attrs or {}})
+        assert r.status_code in (200, 201), r.text
+        return r.get_json()["id"]
+
+    def value_for(etype, attr):
+        # satisfy the seeded template's regex validations (e.g. ^BU\d{3}$)
+        structure = next(d for d in defs if d["_id"] == def_id)["structure"]
+        pattern = {**structure.get("defaultValidations", {}),
+                   **structure.get("validations", {}),
+                   **etypes[etype].get("validations", {})}.get(attr)
+        if pattern:
+            v = pattern.strip("^$")
+            v = re.sub(r"\\d\{(\d+)(?:,\d+)?\}",
+                       lambda m: "1" * int(m.group(1)), v)
+            v = v.replace("\\d+", "1").replace("\\d", "1")
+            if re.fullmatch(pattern, v):
+                return v
+        return "X1"
+
+    def required_attrs(etype):
+        return {a: value_for(etype, a)
+                for a in etypes[etype].get("requiredAttributes", [])}
+
+    a = mk("A", root_type, attrs=required_attrs(root_type))
+    b = mk("B", root_type, attrs=required_attrs(root_type))
+    child_type = next((t for t in etypes if t != root_type), root_type)
+    c = mk("C", child_type, parent=a, attrs=required_attrs(child_type))
+
+    listing = client.get(f"/bharatlytics/v1/entities?companyId={cid}").get_json()
+    by_name = {e["name"]: e for e in listing}
+    assert by_name["C"]["parentId"]["$oid"] == a  # tree edge the JS renders
+
+    # Edit modal re-parent: PUT with parentId rewrites the subtree path
+    r = client.put(f"/bharatlytics/v1/entities/{c}",
+                   json_body={"parentId": b})
+    assert r.status_code == 200, r.text
+    got = client.get(f"/bharatlytics/v1/entities/{c}").get_json()
+    assert got["parentId"]["$oid"] == b
+    assert [p["$oid"] for p in got["path"]] == [b]
+
+    # details-pane Delete is recursive (entity + descendants)
+    r = client.delete(f"/bharatlytics/v1/entities/{b}")
+    assert r.status_code == 200
+    names = {e["name"] for e in client.get(
+        f"/bharatlytics/v1/entities?companyId={cid}").get_json()}
+    assert "B" not in names and "C" not in names and "A" in names
