@@ -1,7 +1,9 @@
 // Entity-hierarchy browser on the company-details page — the role of the
 // reference's jstree tab (app/templates/company-details.html:169-184,
-// 308-380: tree with per-type icons, select-node details pane, add-entity
-// modal), rebuilt dependency-free on the /bharatlytics/v1 entity API.
+// 308-380) and of app/static/js/app.js:219-637 (renderEntityTree /
+// renderEntityDetails / per-type icons / entity CRUD): tree with
+// expand-collapse + type glyphs, select-node details pane, add/edit/delete
+// modal, rebuilt dependency-free on the /bharatlytics/v1 entity API.
 
 function initCompanyEntities(companyId) {
   const treeRoot = $('#entity-tree');
