@@ -540,4 +540,12 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
             log["timestamp"] = format_datetime(log["timestamp"])
         return jsonify(logs), 200
 
+    @bp.route("/employees/page", methods=["GET"])
+    def employee_page():
+        # reference employee.py:519-521 renders an employees.html template
+        # that is absent from the snapshot; here the admin UI's employees
+        # workspace is that page, so serve it (same-origin /ui assets).
+        from ..web.ui import ui_page
+        return ui_page("employees.html")
+
     return bp

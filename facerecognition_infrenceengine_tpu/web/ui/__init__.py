@@ -39,12 +39,17 @@ def _read(*parts: str) -> bytes:
         return f.read()
 
 
+def ui_page(name: str) -> Response:
+    """Serve an admin-UI template (also used by API routes that render a
+    page, e.g. the reference's /employees/page, employee.py:519-521)."""
+    body = _read("templates", name)
+    return Response(body, 200, mimetype=_MIME[".html"])
+
+
 def make_ui_bp() -> Blueprint:
     bp = Blueprint("ui")
 
-    def page(name: str):
-        body = _read("templates", name)
-        return Response(body, 200, mimetype=_MIME[".html"])
+    page = ui_page
 
     @bp.route("/", methods=["GET"])
     def index():

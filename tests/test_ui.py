@@ -394,3 +394,15 @@ def test_company_details_entity_tree_roundtrip(client):
     names = {e["name"] for e in client.get(
         f"/bharatlytics/v1/entities?companyId={cid}").get_json()}
     assert "B" not in names and "C" not in names and "A" in names
+
+
+def test_employees_page_route(client):
+    """reference employee.py:519-521: GET /bharatlytics/v1/employees/page
+    renders the employees page (template absent from the snapshot; here
+    the admin employees workspace is that page)."""
+    # the reference registers employee_bp under /employees yet the route
+    # says '/employees/page' — the real path doubles the segment; keep it
+    resp = client.get("/bharatlytics/v1/employees/employees/page")
+    assert resp.status_code == 200
+    assert resp.headers["Content-Type"].startswith("text/html")
+    assert 'data-page="employees"' in resp.text
