@@ -16,6 +16,14 @@ memoization) and folds every output into a scalar accumulator that is read
 back to the host once (forces real execution; dead-code elimination cannot
 skip the pipeline).  Per-iteration time is the slope between an N1-iter and
 an N2-iter run, which cancels dispatch + host round-trip overhead exactly.
+
+Failure model (VERDICT r3 weak #1: one RESOURCE_EXHAUSTED in the gallery
+stage returned rc=1 and threw away the already-measured headline numbers):
+every stage runs inside ``section()``, which records an error string
+instead of propagating, retries once after reclaiming device memory when
+the failure is a resource exhaustion, and snapshots HBM usage per section.
+The single JSON result line is printed from a ``finally`` with whatever
+was measured.
 """
 
 import json
@@ -92,6 +100,71 @@ def _git_commit() -> str:
         return "unknown"
 
 
+# --------------------------------------------------------------- sections
+SECTION_ERRORS: dict = {}
+SECTION_HBM: dict = {}
+
+
+def hbm_mb():
+    """Device-memory snapshot {in_use_mb, peak_mb}, or None when the
+    runtime doesn't expose memory_stats (VERDICT r3 task 8: the next
+    ResourceExhausted should be a readable number, not a dead round)."""
+    try:
+        s = jax.local_devices()[0].memory_stats() or {}
+        out = {}
+        if "bytes_in_use" in s:
+            out["in_use_mb"] = round(s["bytes_in_use"] / 1e6, 1)
+        if "peak_bytes_in_use" in s:
+            out["peak_mb"] = round(s["peak_bytes_in_use"] / 1e6, 1)
+        return out or None
+    except Exception:
+        return None
+
+
+def reclaim():
+    """Best-effort device-memory release between sections: drop Python
+    refs already gone + jitted-executable caches (their device buffers and
+    any hoisted constants).  Recompiles after this hit .jax_cache."""
+    import gc
+
+    gc.collect()
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+    gc.collect()
+
+
+def section(name, fn, default=None):
+    """Run one bench stage; record failure instead of propagating.
+
+    A RESOURCE_EXHAUSTED gets one retry after ``reclaim()`` — r03 died on
+    a gallery-stage OOM with the headline numbers already in hand."""
+    for attempt in (0, 1):
+        try:
+            out = fn()
+            m = hbm_mb()
+            if m:
+                SECTION_HBM[name] = m
+            return out
+        except Exception as exc:
+            msg = f"{type(exc).__name__}: {exc}"
+            oom = ("RESOURCE_EXHAUSTED" in msg or "ResourceExhausted" in msg
+                   or "out of memory" in msg.lower())
+            print(f"# section {name} attempt {attempt}: {msg[:300]}",
+                  file=sys.stderr, flush=True)
+            m = hbm_mb()
+            if m:
+                SECTION_HBM[name] = m
+            if attempt == 0 and oom:
+                reclaim()
+                continue
+            SECTION_ERRORS[name] = msg[:300]
+            return default
+    return default
+
+
+# ------------------------------------------------------------ measurement
 def device_loop_time(run, n1=4, n2=20, reps=3):
     """Seconds per device-side loop iteration, by slope between n1 and n2 runs.
 
@@ -135,18 +208,21 @@ def fused_loop_runner(engine, frames, det_threshold=0.3):
 def snapshot_loop_runner(snap, queries):
     """Device loop over the PRODUCTION gallery dispatch: the exact kernel
     selection _CompanySnapshot.match performs for this snapshot's dtype/size
-    (f32/bf16 XLA, fused Pallas top-1, int8).  Measuring through the
-    snapshot keeps driver-captured QPS and the serving path from drifting
-    apart (VERDICT r2 weak #1).
+    (f32-with-cached-bf16-cast, bf16/int8 fused Pallas top-1, XLA top-k).
+    Measuring through the snapshot keeps driver-captured QPS and the
+    serving path from drifting apart (VERDICT r2 weak #1).
 
-    The gallery matrix is passed as a jit ARGUMENT (swapped onto the
-    snapshot for the duration of the trace): closing over it would bake
-    all 2 GB of a 1M-ID f32 gallery into the executable as a literal
-    constant — slow to lower, and serialized verbatim into .jax_cache."""
+    The gallery matrix — and the f32 snapshot's cached bf16 scoring copy —
+    are passed as jit ARGUMENTS (swapped onto the snapshot for the duration
+    of the trace): closing over them would bake gigabytes into the
+    executable as literal constants — slow to lower, and serialized
+    verbatim into .jax_cache."""
     matrix, valid = snap.device_matrix, snap.device_valid
+    score = getattr(snap, "score_matrix", None)
 
-    def loop(q0, m, v, n):
+    def loop(q0, m, v, sc, n):
         snap.device_matrix, snap.device_valid = m, v
+        snap.score_matrix = sc
         try:
             def body(i, acc):
                 q = q0 + (i % 7).astype(jnp.float32) * 1e-3
@@ -156,35 +232,51 @@ def snapshot_loop_runner(snap, queries):
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         finally:
             snap.device_matrix, snap.device_valid = matrix, valid
+            snap.score_matrix = score
 
     fn = jax.jit(loop)
 
     def run(n):
-        return float(fn(queries, matrix, valid, jnp.int32(n)))
+        return float(fn(queries, matrix, valid, score, jnp.int32(n)))
 
     return run
 
 
-def gallery_snapshots(n_ids: int):
-    """Build f32/bf16/int8 production snapshots around a device-generated
-    gallery (2 GB host->device over the tunnel would take minutes)."""
-    from facerecognition_infrenceengine_tpu.engine.gallery import (
-        _CompanySnapshot)
+def make_gallery(n_ids: int):
+    """Device-generated normalized gallery + int8 scale (generating on
+    device costs milliseconds; pushing 2 GB over the axon tunnel takes
+    minutes).  One jitted program returns both the rows and the abs-max so
+    no extra full-size temporary outlives the call."""
     from facerecognition_infrenceengine_tpu.ops.matching import l2_normalize
 
-    gal = jax.jit(lambda: l2_normalize(jax.random.normal(
-        jax.random.PRNGKey(0), (n_ids, 512), jnp.float32)))()
-    # int8 quantization on device, same 1.25x headroom as production builds
-    scale = float(jnp.max(jnp.abs(gal))) * 1.25 / 127.0
-    gal_i8 = jax.jit(lambda g: jnp.clip(
-        jnp.rint(g / scale), -127, 127).astype(jnp.int8))(gal)
-    ids = [str(i) for i in range(n_ids)]
+    @jax.jit
+    def gen():
+        g = l2_normalize(jax.random.normal(
+            jax.random.PRNGKey(0), (n_ids, 512), jnp.float32))
+        return g, jnp.max(jnp.abs(g))
+
+    gal, gmax = gen()
+    scale = float(gmax) * 1.25 / 127.0  # production's 1.25x quant headroom
+    return gal, scale
+
+
+def make_snapshot(gal, scale, dname: str, n_ids: int):
+    """One production snapshot of the requested dtype around the device
+    gallery — built per dtype so each can be measured and FREED before the
+    next (r03's gallery stage held every dtype at once and OOMed)."""
+    from facerecognition_infrenceengine_tpu.engine.gallery import (
+        _CompanySnapshot)
+
     mk = _CompanySnapshot.from_device_matrix
-    return {
-        "f32": mk(gal, n_ids, "float32", ids=ids),
-        "bf16": mk(gal.astype(jnp.bfloat16), n_ids, "bfloat16", ids=ids),
-        "int8": mk(gal_i8, n_ids, "int8", int8_scale=scale, ids=ids),
-    }, gal
+    ids = [str(i) for i in range(n_ids)]
+    if dname == "f32":
+        return mk(gal, n_ids, "float32", ids=ids)
+    if dname == "bf16":
+        return mk(jax.jit(lambda g: g.astype(jnp.bfloat16))(gal),
+                  n_ids, "bfloat16", ids=ids)
+    q = jax.jit(lambda g: jnp.clip(
+        jnp.rint(g / scale), -127, 127).astype(jnp.int8))(gal)
+    return mk(q, n_ids, "int8", int8_scale=scale, ids=ids)
 
 
 def main():
@@ -200,134 +292,194 @@ def main():
     # cameras (microbatch_max).  B=1 latency is reported separately below.
     batch = int(os.environ.get("BENCH_BATCH", "96"))
     max_faces = int(os.environ.get("BENCH_MAX_FACES", "16"))
+
+    extras: dict = {
+        "batch": batch,
+        "max_faces": max_faces,
+        "errors": SECTION_ERRORS,
+        "hbm_mb": SECTION_HBM,
+        "commit": _git_commit(),
+    }
+    result = {
+        "metric": "faces_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "faces/s (detect+align+embed, 640x640, bf16)",
+        "vs_baseline": 0.0,
+        "extra": extras,
+    }
+    try:
+        extras["device"] = str(jax.devices()[0])
+        _run_sections(result, extras, batch, max_faces,
+                      EngineConfig, FaceEngine)
+    except BaseException as exc:  # noqa: BLE001 — the JSON line must print
+        SECTION_ERRORS["fatal"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        print(json.dumps(result), flush=True)
+
+
+def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
     cfg = EngineConfig(det_size=(640, 640), max_faces=max_faces,
                        pre_nms_topk=256, dtype="bfloat16")
-    engine = FaceEngine(cfg, det_arch="det_10g", rec_arch="r50", seed=0)
-
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8))
 
-    # Throughput: faces/sec through the full fused program at batch B.
-    it_s = device_loop_time(fused_loop_runner(engine, frames))
-    faces_per_sec = batch * max_faces / it_s
+    state: dict = {}
 
-    # Latency: device time for one B=1 fused dispatch (p50 path, no queueing).
-    frames1 = frames[:1]
-    lat_s = device_loop_time(fused_loop_runner(engine, frames1), n1=8, n2=48,
-                             reps=5)
-    frame_ms = lat_s * 1000.0
+    def build_engine():
+        state["engine"] = FaceEngine(cfg, det_arch="det_10g", rec_arch="r50",
+                                     seed=0)
+        state["frames"] = jnp.asarray(
+            rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8))
+        return True
 
-    # Opt-in int8-embedder scale mode (EngineConfig.embed_int8,
-    # models/quant.py): same fused program with the PTQ int8 IResNet —
-    # ~0.995 cosine vs bf16, not the parity path, reported as an extra.
-    faces_per_sec_int8 = None
-    if os.environ.get("BENCH_INT8", "1") != "0":
-        try:
-            import dataclasses
+    have_engine = section("engine_build", build_engine, default=False)
 
-            engine_q = FaceEngine(dataclasses.replace(cfg, embed_int8=True),
-                                  det_arch="det_10g", rec_arch="r50", seed=0)
-            it8_s = device_loop_time(fused_loop_runner(engine_q, frames))
-            faces_per_sec_int8 = round(batch * max_faces / it8_s, 1)
-        except Exception as exc:  # surface the failure, don't mask it as
-            faces_per_sec_int8 = {"error": str(exc)[:200]}  # "mode absent"
+    # 1. Headline throughput: faces/sec through the full fused program.
+    if have_engine:
+        def thru():
+            it_s = device_loop_time(
+                fused_loop_runner(state["engine"], state["frames"]))
+            extras["fused_iter_ms"] = round(it_s * 1000.0, 3)
+            return batch * max_faces / it_s
 
-    # Gallery QPS through the production snapshot dispatch (engine/gallery
-    # _CompanySnapshot._device_match), every configured dtype, at 100k and
-    # 1M IDs (the reference's scale axis, SURVEY §5.7).  f32 XLA is the
-    # bit-exact parity path; bf16/int8 route to the fused Pallas top-1
-    # kernel exactly as serving would.
+        faces_per_sec = section("throughput", thru)
+        if faces_per_sec:
+            result["value"] = round(faces_per_sec, 1)
+            result["vs_baseline"] = round(
+                faces_per_sec / BASELINE_FACES_PER_SEC, 3)
+
+        # 2. Latency: device time for one B=1 fused dispatch (p50 path).
+        def lat():
+            lat_s = device_loop_time(
+                fused_loop_runner(state["engine"], state["frames"][:1]),
+                n1=8, n2=48, reps=5)
+            return round(lat_s * 1000.0, 3)
+
+        extras["frame_latency_b1_ms"] = section("latency_b1", lat)
+
+        # 3. Opt-in int8-embedder scale mode (EngineConfig.embed_int8,
+        # models/quant.py): same fused program with the PTQ int8 IResNet —
+        # ~0.995 cosine vs bf16, not the parity path, reported as an extra.
+        if os.environ.get("BENCH_INT8", "1") != "0":
+            def int8_mode():
+                import dataclasses
+
+                engine_q = FaceEngine(
+                    dataclasses.replace(cfg, embed_int8=True),
+                    det_arch="det_10g", rec_arch="r50", seed=0)
+                try:
+                    it8 = device_loop_time(
+                        fused_loop_runner(engine_q, state["frames"]))
+                    return round(batch * max_faces / it8, 1)
+                finally:
+                    del engine_q
+
+            extras["faces_per_sec_int8_embed_mode"] = section(
+                "int8_embed_mode", int8_mode)
+
+    # Free the engines' weights + fused executables before the gallery
+    # stage builds multi-GB matrices (r03 OOMed here with them resident).
+    state.clear()
+    reclaim()
+
+    # 4. Gallery QPS through the production snapshot dispatch
+    # (engine/gallery._CompanySnapshot._device_match), every configured
+    # dtype, at 100k and 1M IDs (the reference's scale axis, SURVEY §5.7).
+    # f32 serves through its cached bf16 scoring copy exactly as production
+    # does; bf16/int8 route to the fused Pallas top-1 kernel.
     n_q = 64
     gallery_qps: dict = {}
     match_call_ms: dict = {}
+    extras["gallery_qps"] = gallery_qps
+    extras["gallery_match_call_ms"] = match_call_ms
+    max_ids = int(os.environ.get("BENCH_GALLERY_MAX_IDS", str(1 << 20)))
     for label, n_ids, loops in (("100k", 100_000, (64, 1024)),
                                 ("1m", 1 << 20, (8, 64))):
-        snaps, gal = gallery_snapshots(n_ids)
-        q = gal[:n_q]
-        gallery_qps[label] = {}
-        for dname, snap in snaps.items():
-            if (dname != "f32" and jax.default_backend() != "tpu"):
-                gallery_qps[label][dname] = None  # pallas kernels: TPU-only
-                continue
-            g_s = device_loop_time(snapshot_loop_runner(snap, q),
-                                   n1=loops[0], n2=loops[1], reps=3)
-            gallery_qps[label][dname] = round(n_q / max(g_s, 1e-9), 1)
-        # one full production match() call (host round-trip + id mapping
-        # included) — the number a caller of GalleryManager.match sees
-        probes = np.asarray(gal[:n_q], np.float32)
-        for dname, snap in snaps.items():
-            if dname != "f32" and jax.default_backend() != "tpu":
-                continue
-            snap.match(probes)  # warm
-            t0 = time.perf_counter()
-            calls = 10
-            for i in range(calls):
-                snap.match(probes + np.float32(1e-3 * (i % 7)))
-            match_call_ms[f"{label}_{dname}"] = round(
-                (time.perf_counter() - t0) / calls * 1000.0, 2)
-        del snaps, gal, q
+        if n_ids > max_ids:  # CPU smoke runs cap the O(N) matmul loops
+            continue
 
-    # Sustained streaming through the REAL serving path (camera threads ->
-    # MicroBatcher -> fused program, host<->device transfers included) so
-    # the production path has a tracked regression signal, not just the
+        def gal_stage(label=label, n_ids=n_ids, loops=loops):
+            gal, scale = make_gallery(n_ids)
+            q = gal[:n_q]
+            probes = np.asarray(q, np.float32)
+            gallery_qps[label] = {}
+            try:
+                for dname in ("f32", "bf16", "int8"):
+                    if dname != "f32" and jax.default_backend() != "tpu":
+                        gallery_qps[label][dname] = None  # pallas: TPU-only
+                        continue
+
+                    def one(dname=dname):
+                        snap = make_snapshot(gal, scale, dname, n_ids)
+                        try:
+                            g_s = device_loop_time(
+                                snapshot_loop_runner(snap, q),
+                                n1=loops[0], n2=loops[1], reps=3)
+                            gallery_qps[label][dname] = round(
+                                n_q / max(g_s, 1e-9), 1)
+                            # one full production match() call (host
+                            # round-trip + id mapping included) — what a
+                            # caller of GalleryManager.match sees
+                            snap.match(probes)  # warm
+                            t0 = time.perf_counter()
+                            calls = 10
+                            for i in range(calls):
+                                snap.match(probes + np.float32(1e-3 * (i % 7)))
+                            match_call_ms[f"{label}_{dname}"] = round(
+                                (time.perf_counter() - t0) / calls * 1000.0, 2)
+                        finally:
+                            del snap
+
+                    section(f"gallery_{label}_{dname}", one)
+            finally:
+                del gal, q
+            return True
+
+        section(f"gallery_{label}", gal_stage)
+        reclaim()
+
+    # legacy keys (same dispatch; kept so r02/r03 rows compare)
+    extras["gallery_qps_100k"] = (gallery_qps.get("100k") or {}).get("f32")
+    extras["gallery_qps_1m_f32"] = (gallery_qps.get("1m") or {}).get("f32")
+    extras["gallery_qps_1m_int8"] = (gallery_qps.get("1m") or {}).get("int8")
+
+    # 5. Sustained streaming through the REAL serving path (camera threads
+    # -> MicroBatcher -> fused program, host<->device transfers included)
+    # so the production path has a tracked regression signal, not just the
     # device-only loop.  Warm shapes come from .jax_cache.
-    streaming = None
-    streaming_yuv = None
     if (jax.default_backend() == "tpu"
             and os.environ.get("BENCH_STREAMING", "1") != "0"):
-        try:
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
-            import streaming as _streaming_mod
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import streaming as _streaming_mod
 
-            # warmup seconds are discarded (thread ramp + pipeline fill is
-            # a ~2-3 s one-time transient that would otherwise dominate the
-            # sustained-fps average; see benchmarks/streaming.run).
-            stream_secs = float(os.environ.get("BENCH_STREAM_SECS", "15"))
-            stream_warm = float(os.environ.get("BENCH_STREAM_WARMUP", "5"))
-            streaming = _streaming_mod.run(
-                n_cameras=int(os.environ.get("BENCH_STREAM_CAMS", "4")),
-                duration=stream_secs, warmup=stream_warm, quiet=True)
-        except Exception as exc:  # never fail the headline metric on this
-            streaming = {"error": str(exc)[:200]}
-        try:
-            # half-byte wire format (native yuv420 content-row pack +
-            # ops/yuv.py device unpack) with per-frame capture-thread
-            # uploads: the transfer-bound streaming path's main levers.
-            # Frontier on this ~20 MB/s tunnel (15 s runs, 4 cams):
-            # this profile 39 fps p50 ~740 ms; frame_queue_depth=4 batched
-            # 48 fps p50 ~1.2 s; rgb r02 baseline 18.1 fps p50 469 ms.
-            streaming_yuv = _streaming_mod.run(
-                n_cameras=int(os.environ.get("BENCH_STREAM_CAMS", "4")),
-                duration=stream_secs, warmup=stream_warm,
-                quiet=True, transport="yuv420", upload_on_submit=True)
-        except Exception as exc:
-            streaming_yuv = {"error": str(exc)[:200]}
+        # warmup seconds are discarded (thread ramp + pipeline fill is a
+        # ~2-3 s one-time transient that would otherwise dominate the
+        # sustained-fps average; see benchmarks/streaming.run).
+        stream_secs = float(os.environ.get("BENCH_STREAM_SECS", "15"))
+        stream_warm = float(os.environ.get("BENCH_STREAM_WARMUP", "5"))
+        n_cams = int(os.environ.get("BENCH_STREAM_CAMS", "4"))
 
-    result = {
-        "metric": "faces_per_sec_per_chip",
-        "value": round(faces_per_sec, 1),
-        "unit": "faces/s (detect+align+embed, 640x640, bf16)",
-        "vs_baseline": round(faces_per_sec / BASELINE_FACES_PER_SEC, 3),
-        "extra": {
-            "batch": batch,
-            "max_faces": max_faces,
-            "fused_iter_ms": round(it_s * 1000.0, 3),
-            "frame_latency_b1_ms": round(frame_ms, 3),
-            "faces_per_sec_int8_embed_mode": faces_per_sec_int8,
-            "gallery_qps": gallery_qps,
-            "gallery_match_call_ms": match_call_ms,
-            # legacy keys (same dispatch; kept so r02/r03 rows compare)
-            "gallery_qps_100k": gallery_qps["100k"]["f32"],
-            "gallery_qps_1m_f32": gallery_qps["1m"]["f32"],
-            "gallery_qps_1m_int8": gallery_qps["1m"]["int8"],
-            "streaming": streaming,
-            "streaming_yuv420": streaming_yuv,
-            "device": str(jax.devices()[0]),
-            "commit": _git_commit(),
-        },
-    }
-    print(json.dumps(result))
+        extras["streaming"] = section("streaming", lambda: _streaming_mod.run(
+            n_cameras=n_cams, duration=stream_secs, warmup=stream_warm,
+            quiet=True))
+        reclaim()
+        # half-byte wire format (native yuv420 content-row pack +
+        # ops/yuv.py device unpack) with per-frame capture-thread uploads:
+        # the transfer-bound streaming path's main levers.
+        extras["streaming_yuv420"] = section(
+            "streaming_yuv420", lambda: _streaming_mod.run(
+                n_cameras=n_cams, duration=stream_secs, warmup=stream_warm,
+                quiet=True, transport="yuv420", upload_on_submit=True))
+        reclaim()
+        # latency profile (VERDICT r3 task 2): depth-1 admission + a single
+        # batch in flight bounds queueing to ~one cycle, trading fps for
+        # p50.  Preserves the reference's drop-on-full semantics
+        # (reference infrenceServer.py:594-598) at the tightest depth.
+        extras["streaming_latency"] = section(
+            "streaming_latency", lambda: _streaming_mod.run(
+                n_cameras=n_cams, duration=stream_secs, warmup=stream_warm,
+                quiet=True, transport="yuv420", upload_on_submit=True,
+                frame_queue_depth=1, inflight_batches=1))
 
 
 if __name__ == "__main__":

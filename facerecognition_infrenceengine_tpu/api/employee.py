@@ -545,6 +545,11 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
         # reference employee.py:519-521 renders an employees.html template
         # that is absent from the snapshot; here the admin UI's employees
         # workspace is that page, so serve it (same-origin /ui assets).
+        # Rate-limited like every other employee route: the reference
+        # throttles the whole blueprint via before_request (employee.py:85-87).
+        gate = rate_gate()
+        if gate:
+            return gate
         from ..web.ui import ui_page
         return ui_page("employees.html")
 

@@ -166,13 +166,29 @@ function initCompanyEntities(companyId) {
   }
 
   function openEntityModal(entity, parentId) {
+    if (!entity && !definitions.length) {
+      // no definitions -> the selects would be empty and the server would
+      // 400 the submit; guide the user instead (advisor r3)
+      toast('Create an entity definition first', true);
+      return;
+    }
     $('#entity-modal-title').textContent = entity ? 'Edit entity' : 'Add entity';
     $('#em-id').value = entity ? entity._id : '';
     $('#em-name').value = entity ? entity.name : '';
     const defSel = $('#em-definition');
     clear(defSel);
     for (const d of definitions) defSel.append(el('option', { value: d._id }, d.name));
-    if (entity) defSel.value = entity.definitionId;
+    if (entity) {
+      if (!definitionById(entity.definitionId)) {
+        // the entity's definition is gone from the fetched list: a silent
+        // value-assignment no-op would leave the FIRST definition selected
+        // and let a save rewrite the type from the wrong definition
+        // (advisor r3) — pin a disabled placeholder carrying the real id
+        defSel.append(el('option', { value: entity.definitionId, disabled: '' },
+                         `(missing definition ${entity.definitionId})`));
+      }
+      defSel.value = entity.definitionId;
+    }
     defSel.disabled = !!entity; // definition is immutable after creation
     fillTypeOptions(defSel.value, entity ? entity.type : null);
     fillParentOptions(entity ? entity._id : null,

@@ -45,6 +45,11 @@ function renderTree(container, nodes, opts = {}) {
 
   const saved = loadViewState(opts.viewKey) || {};
   const layout = saved.layout === 'horizontal' ? 'horizontal' : 'vertical';
+  // two layout ENGINES, mirroring the reference's dagre/klay choice
+  // (reference entity-definitions.js:4-5): 'tidy' centers parents over
+  // their children (dagre-like), 'compact' left-aligns parents over the
+  // first child for a dense layered outline (klay-like)
+  const engine = saved.engine === 'compact' ? 'compact' : 'tidy';
 
   const byId = new Map(nodes.map(n => [n.id, { ...n, children: [] }]));
   const roots = [];
@@ -82,7 +87,9 @@ function renderTree(container, nodes, opts = {}) {
       return;
     }
     for (const c of node.children) place(c, depth + 1);
-    node.col = (node.children[0].col + node.children[node.children.length - 1].col) / 2;
+    node.col = engine === 'compact'
+      ? node.children[0].col
+      : (node.children[0].col + node.children[node.children.length - 1].col) / 2;
   }
   for (const r of roots) { place(r, 0); nextCol += 0.35; }
 
@@ -108,7 +115,18 @@ function renderTree(container, nodes, opts = {}) {
     layoutSel.append(o);
   }
   layoutSel.addEventListener('change', () => {
-    saveViewState(opts.viewKey, { layout: layoutSel.value, box: null });
+    saveViewState(opts.viewKey, { layout: layoutSel.value, engine, box: null });
+    renderTree(container, nodes, opts);
+  });
+  const engineSel = el('select', { class: 'diagram-layout', title: 'Layout engine' });
+  for (const [val, label] of [['tidy', 'Tidy (centered)'],
+                              ['compact', 'Compact (layered)']]) {
+    const o = el('option', { value: val }, label);
+    if (val === engine) o.setAttribute('selected', 'selected');
+    engineSel.append(o);
+  }
+  engineSel.addEventListener('change', () => {
+    saveViewState(opts.viewKey, { layout, engine: engineSel.value, box: null });
     renderTree(container, nodes, opts);
   });
   bar.append(
@@ -116,6 +134,7 @@ function renderTree(container, nodes, opts = {}) {
     mkBtn('+', 'Zoom in', () => zoomBy(0.8)),
     mkBtn('⤢ fit', 'Fit diagram', () => { view = { ...fitBox }; applyView(); }),
     layoutSel,
+    engineSel,
   );
   if (opts.onMove) {
     const rootDrop = el('span', {

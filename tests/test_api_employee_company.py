@@ -14,10 +14,11 @@ JPEG = b"\xff\xd8\xff\xe0" + b"fakejpegdata" * 10
 
 
 @pytest.fixture
-def app():
-    cfg = Config()
-    ds = Datastore(cfg)  # fresh isolated store per test
-    return create_app(ds, cfg)
+def app(store_cfg):
+    # fresh isolated store per test; store_cfg (conftest) runs the whole
+    # suite over BOTH the embedded store and the fre:// wire server
+    ds = Datastore(store_cfg)
+    return create_app(ds, store_cfg)
 
 
 @pytest.fixture

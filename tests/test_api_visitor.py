@@ -13,9 +13,10 @@ JPEG = b"\xff\xd8\xff\xe0" + b"fakejpegdata" * 10
 
 
 @pytest.fixture
-def app():
-    cfg = Config()
-    return create_app(Datastore(cfg), cfg)
+def app(store_cfg):
+    # store_cfg (conftest) runs this whole contract suite over BOTH the
+    # embedded store and the fre:// wire server
+    return create_app(Datastore(store_cfg), store_cfg)
 
 
 @pytest.fixture

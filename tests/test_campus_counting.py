@@ -28,8 +28,10 @@ def ts(seconds: float) -> datetime.datetime:
 
 
 @pytest.fixture
-def manager():
-    cfg = Config()
+def manager(store_cfg):
+    # store_cfg (conftest) pins the campus state machine + write batching
+    # over BOTH the embedded store and the fre:// wire server
+    cfg = store_cfg
     ds = Datastore(cfg)
     m = CampusPeopleManager(ds, cfg, start_background=False)
     m.register_camera("cam_in", "campusA", CameraType.ENTRY)

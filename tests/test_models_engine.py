@@ -25,6 +25,7 @@ def engine():
     return FaceEngine(small_cfg(), det_arch="det_500m", rec_arch="r18", seed=0)
 
 
+@pytest.mark.slow
 def test_scrfd_output_shapes():
     model = scrfd.SCRFD(scrfd.CONFIGS["det_500m"])
     x = jnp.zeros((2, 160, 160, 3))
@@ -36,6 +37,7 @@ def test_scrfd_output_shapes():
     assert kps.shape == (2, a, 10)
 
 
+@pytest.mark.slow
 def test_arcface_output_shape_and_determinism():
     model = arcface.iresnet18()
     x = jnp.ones((2, 112, 112, 3)) * 0.5
@@ -67,6 +69,7 @@ def test_engine_embed_faces(engine):
     np.testing.assert_allclose(emb[0], emb[1], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_engine_fused_matches_two_stage(engine):
     rng = np.random.default_rng(2)
     frames = rng.integers(0, 255, (1, 160, 160, 3), dtype=np.uint8)
@@ -105,6 +108,7 @@ def test_engine_attributes(engine):
     assert g0.shape == (0,) and l0.shape == (0, 106, 2)
 
 
+@pytest.mark.slow
 def test_face_analysis_full_pack_and_module_trim():
     from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
 
@@ -142,6 +146,7 @@ def test_mobilefacenet_embedder():
     assert n_params < 3_000_000
 
 
+@pytest.mark.slow
 def test_face_analysis_mobile_facenet_pack():
     from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
 
@@ -154,6 +159,7 @@ def test_face_analysis_mobile_facenet_pack():
     assert faces and faces[0].normed_embedding.shape == (512,)
 
 
+@pytest.mark.slow
 def test_engine_fused_packed_matches_raw(engine):
     """The packed-input fused program (production contract: native letterbox
     emits s2d4) computes the same detections + embeddings as the raw path."""
@@ -177,6 +183,7 @@ def test_engine_fused_packed_matches_raw(engine):
     assert cos.min() > 0.999, cos
 
 
+@pytest.mark.slow
 def test_engine_attributes_use_exact_onnx_graphs(tmp_path, monkeypatch):
     """When converted attribute graphs (attr_genderage.onnx /
     attr_2d106det.onnx, tools/convert_onnx.py) are in the weights dir, the
@@ -224,6 +231,7 @@ def test_engine_attributes_use_exact_onnx_graphs(tmp_path, monkeypatch):
     np.testing.assert_allclose(age, np.round(ref[:, 2] * 100.0), atol=1.0)
 
 
+@pytest.mark.slow
 def test_engine_fused_yuv420_close_to_rgb(engine):
     """The yuv420 wire format (half the bytes) feeds the same fused program
     through ops/yuv.py's constant-matmul unpack; on smooth imagery the
@@ -248,6 +256,7 @@ def test_engine_fused_yuv420_close_to_rgb(engine):
     assert cos.min() > 0.98, cos
 
 
+@pytest.mark.slow
 def test_face_analysis_yuv_transport_matches_rgb():
     """FaceAnalysis with stream_transport=yuv420 takes the packed fast path
     (encode_frame on the capture side) and finds the same faces."""
@@ -281,3 +290,32 @@ def test_face_analysis_yuv_transport_matches_rgb():
     for fy, fr in zip(faces_yuv[0], faces_rgb[0]):
         cos = float((fy.normed_embedding * fr.normed_embedding).sum())
         assert cos > 0.98, cos
+
+
+def test_engine_flat_output_matches_tuple(engine):
+    """The single packed [B, F, 528] serving output (one device->host
+    transfer — measured 3x faster resolve on the tunneled TPU) decodes to
+    exactly the 5-tuple outputs."""
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 160, 160, 3), dtype=np.uint8)
+    boxes, scores, kps, valid, emb = (
+        np.asarray(o) for o in engine.detect_align_embed(frames, det_threshold=0.0))
+    flat = np.asarray(engine.detect_align_embed_flat(frames, det_threshold=0.0))
+    b, f = valid.shape
+    assert flat.shape == (b, f, 4 + 1 + 10 + 1 + 512)
+    np.testing.assert_allclose(flat[..., :4], boxes, atol=1e-5)
+    np.testing.assert_allclose(flat[..., 4], scores, atol=1e-6)
+    np.testing.assert_allclose(flat[..., 5:15], kps.reshape(b, f, 10), atol=1e-5)
+    np.testing.assert_array_equal(flat[..., 15] > 0.5, valid)
+    np.testing.assert_allclose(flat[..., 16:], emb, atol=1e-6)
+    # the zoo decoder reconstructs the same Face lists
+    from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
+
+    faces_a = FaceAnalysis._faces_from_fused((boxes, scores, kps, valid, emb), b, 0)
+    faces_b = FaceAnalysis._faces_from_fused_flat(flat, b, 0)
+    assert [len(x) for x in faces_a] == [len(x) for x in faces_b]
+    for fa, fb in zip(faces_a, faces_b):
+        for x, y in zip(fa, fb):
+            np.testing.assert_allclose(x.bbox, y.bbox, atol=1e-5)
+            np.testing.assert_allclose(x.normed_embedding, y.normed_embedding,
+                                       atol=1e-6)

@@ -56,6 +56,7 @@ def test_pallas_kernel_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_roi_padding_matrix_consistency():
     # faces near the border: ROI clamps, matrices must keep the mapping exact
     frames, fidx, kps = _faces(m=4, seed=2)

@@ -62,6 +62,7 @@ def test_packed_maxpool_matches_flax():
 
 
 @pytest.mark.parametrize("arch", ["det_10g", "det_500m"])
+@pytest.mark.slow
 def test_full_detector_forward_equivalent(arch):
     """SCRFD(x) == SCRFD(x, stem_out=packed_stem(x)) with random weights."""
     cfg = scrfd.CONFIGS[arch]

@@ -35,6 +35,7 @@ def test_float_twin_matches_flax(model_and_vars):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_int8_close_to_float(model_and_vars):
     m, v = model_and_vars
     calib = _crops(4, seed=2)
@@ -50,6 +51,7 @@ def test_int8_close_to_float(model_and_vars):
     assert float(jnp.min(cos)) > 0.98, np.asarray(cos)
 
 
+@pytest.mark.slow
 def test_engine_embed_int8_flag():
     from facerecognition_infrenceengine_tpu.core.config import EngineConfig
     from facerecognition_infrenceengine_tpu.engine import FaceEngine
@@ -72,6 +74,7 @@ def test_engine_embed_int8_flag():
     assert not np.allclose(emb_q, emb, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_recalibrate_and_clip_fractions(model_and_vars):
     """Structured-default calibration, user recalibration, and the clip-rate
     diagnostic (ADVICE r2: noise-calibrated scales can silently clip)."""
@@ -131,6 +134,7 @@ def test_scrfd_backbone_float_twin_matches_flax():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_det_int8_close_to_float():
     from facerecognition_infrenceengine_tpu.core.config import EngineConfig
     from facerecognition_infrenceengine_tpu.engine import FaceEngine

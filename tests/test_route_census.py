@@ -3,10 +3,15 @@
 Every HTTP route the reference declares (Flask blueprints under
 /bharatlytics/v1, reference app/api/*.py, plus the per-process control
 APIs in infrenceServer.py:685-724 and peopleCount.py:1044-1211) must
-exist here with the same method + path shape.  Skipped when the
-reference snapshot is not present (this repo is standalone).
+exist here with the same method + path shape.
+
+The extracted census is committed at tests/data/reference_routes.json so
+the parity guarantee holds even where the reference snapshot is absent
+(VERDICT r3 weak #7); when the snapshot IS present, a second test pins the
+committed file against a fresh extraction.
 """
 
+import json
 import os
 import re
 
@@ -71,16 +76,30 @@ def _our_routes():
     return routes
 
 
-@pytest.mark.skipif(not os.path.isdir(REFERENCE),
-                    reason="reference snapshot not present")
+SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "reference_routes.json")
+
+
+def _snapshot_routes():
+    with open(SNAPSHOT, encoding="utf-8") as f:
+        return {(m, r) for m, r in json.load(f)}
+
+
 def test_every_reference_route_exists_here():
-    missing = _reference_routes() - _our_routes()
+    """Runs everywhere: parity vs the COMMITTED census."""
+    missing = _snapshot_routes() - _our_routes()
     assert not missing, f"reference routes absent here: {sorted(missing)}"
 
 
-@pytest.mark.skipif(not os.path.isdir(REFERENCE),
-                    reason="reference snapshot not present")
 def test_census_parses_both_sides():
     # guard against the census silently matching nothing
-    assert len(_reference_routes()) >= 60
+    assert len(_snapshot_routes()) >= 60
     assert len(_our_routes()) >= 60
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference snapshot not present")
+def test_committed_census_matches_reference():
+    """When the reference is present, the committed snapshot must be a
+    faithful extraction (regenerate: tests/test_route_census.py docstring)."""
+    assert _reference_routes() == _snapshot_routes()

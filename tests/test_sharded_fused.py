@@ -21,6 +21,7 @@ def engine():
     return FaceEngine(cfg, det_arch="det_500m", rec_arch="r18", seed=0)
 
 
+@pytest.mark.slow
 def test_sharded_fused_matches_single_device(engine):
     devices = jax.devices()
     assert len(devices) >= 8, "conftest should provide 8 virtual CPU devices"
@@ -46,6 +47,7 @@ def test_sharded_fused_matches_single_device(engine):
     assert got[4].sharding.spec[0] == "data"
 
 
+@pytest.mark.slow
 def test_sharded_fused_data_by_gallery_mesh(engine):
     """2x4 mesh: batch shards over data=2 while gallery axis exists."""
     devices = jax.devices()

@@ -6,11 +6,13 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks"))
 
 
+@pytest.mark.slow
 def test_streaming_run_smoke():
     import streaming as streaming_mod
 
@@ -35,6 +37,7 @@ def test_streaming_run_smoke():
     assert stats["fps_processed"] > 0
 
 
+@pytest.mark.slow
 def test_streaming_accounting_and_drop_threshold():
     """Every submitted frame is either processed or counted as a drop (the
     measurement can't silently lose frames), and the drop rate at this toy
@@ -60,6 +63,7 @@ def test_streaming_accounting_and_drop_threshold():
     assert drop_rate <= 0.9, f"catastrophic drop rate {drop_rate:.0%}"
 
 
+@pytest.mark.slow
 def test_streaming_yuv420_transport_smoke():
     """The yuv420 wire format flows end-to-end: capture-thread encode ->
     MicroBatcher -> fused packed program (interpret mode on CPU)."""
@@ -80,6 +84,7 @@ def test_streaming_yuv420_transport_smoke():
     assert stats["fps_processed"] > 0
 
 
+@pytest.mark.slow
 def test_streaming_yuv420_upload_on_submit_smoke():
     """upload_on_submit: capture threads device_put each encoded frame
     (admission-controlled), batches assemble via the device-stack path
@@ -94,6 +99,7 @@ def test_streaming_yuv420_upload_on_submit_smoke():
     assert stats["fps_processed"] > 0
 
 
+@pytest.mark.slow
 def test_streaming_warmup_discards_transient():
     """warmup>0 snapshots counters at the boundary so the returned stats
     cover only the measured window: submissions from the warmup phase are

@@ -65,12 +65,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def load_onnx_graph(path: str):
     """Initializers + node list via the repo's own wire-format reader
     (models/onnxlite.py) — conversion runs anywhere the .onnx files land,
-    no `onnx` package needed (VERDICT r2 missing #4)."""
+    no `onnx` package needed (VERDICT r2 missing #4).
+
+    Trivial shape ops whose inputs are all initializers (Unsqueeze/
+    Squeeze/Reshape/Identity) are constant-folded away: exporters that
+    skip ONNX-level constant folding wrap e.g. PReLU slopes in an
+    Unsqueeze, which would otherwise hide the parameter from the
+    execution-order walk below."""
     from facerecognition_infrenceengine_tpu.models import onnxlite
 
     g = onnxlite.load(path)
     inits = {name: t.to_numpy() for name, t in g.initializers.items()}
-    nodes = [(n.op_type, list(n.inputs), list(n.outputs)) for n in g.nodes]
+    nodes = []
+    for n in g.nodes:
+        ins = list(n.inputs)
+        if (n.op_type == "Constant" and len(n.outputs) == 1
+                and "value" in n.attrs):
+            inits[n.outputs[0]] = np.asarray(n.attrs["value"])
+            continue
+        if (n.op_type in ("Unsqueeze", "Squeeze", "Reshape", "Identity",
+                          "Transpose")
+                and ins and len(n.outputs) == 1
+                and all(i in inits for i in ins)):
+            arr = inits[ins[0]]
+            if n.op_type == "Transpose":  # bias-free torch Linear exports
+                perm = n.attrs.get("perm")  # Transpose(weight) + MatMul
+                arr = np.transpose(arr, perm and [int(p) for p in perm])
+            axes = n.attrs.get("axes")
+            if axes is None and len(ins) > 1:  # opset>=13: axes as input
+                axes = [int(a) for a in np.asarray(inits[ins[1]]).reshape(-1)]
+            if n.op_type == "Unsqueeze":
+                for ax in sorted(int(a) for a in axes or ()):
+                    arr = np.expand_dims(arr, ax)
+            elif n.op_type == "Squeeze":
+                arr = (np.squeeze(arr, tuple(int(a) for a in axes))
+                       if axes else np.squeeze(arr))
+            elif n.op_type == "Reshape":
+                arr = arr.reshape([int(d) for d in
+                                   np.asarray(inits[ins[1]]).reshape(-1)])
+            inits[n.outputs[0]] = arr
+            continue
+        nodes.append((n.op_type, ins, list(n.outputs)))
     return inits, nodes
 
 
@@ -180,8 +215,12 @@ def assign_by_execution_order(flat_flax: dict, order: list, nodes: list,
                 w = w.reshape(n_out, c, h, wd) if w.shape[0] == n_out else \
                     w.T.reshape(n_out, c, h, wd)
                 w = np.transpose(w, (2, 3, 1, 0)).reshape(h * wd * c, n_out)
-            elif tuple(w.shape[::-1]) == tuple(out[key].shape):
+            elif op_type == "Gemm":
+                # torch exports Linear as Gemm(transB=1): weight is [out,in]
+                # — transpose even when square (shape alone can't tell).
                 w = w.T
+            elif tuple(w.shape) != tuple(out[key].shape):
+                w = w.T  # MatMul carries [in, out] already; fix mismatches
             _check_assign(out, key, w)
             if len(params) > 1:
                 bias_key = f"{path}/bias"
