@@ -108,17 +108,26 @@ SECTION_HBM: dict = {}
 def hbm_mb():
     """Device-memory snapshot {in_use_mb, peak_mb}, or None when the
     runtime doesn't expose memory_stats (VERDICT r3 task 8: the next
-    ResourceExhausted should be a readable number, not a dead round)."""
+    ResourceExhausted should be a readable number, not a dead round).
+    The axon tunnel backend returns no memory_stats, so fall back to the
+    bytes of live jax arrays this process holds — it misses executable
+    scratch but catches the big matrices that actually OOM the bench."""
+    out = {}
     try:
         s = jax.local_devices()[0].memory_stats() or {}
-        out = {}
         if "bytes_in_use" in s:
             out["in_use_mb"] = round(s["bytes_in_use"] / 1e6, 1)
         if "peak_bytes_in_use" in s:
             out["peak_mb"] = round(s["peak_bytes_in_use"] / 1e6, 1)
-        return out or None
     except Exception:
-        return None
+        pass
+    if not out:
+        try:
+            out["live_arrays_mb"] = round(sum(
+                a.nbytes for a in jax.live_arrays()) / 1e6, 1)
+        except Exception:
+            return None
+    return out or None
 
 
 def reclaim():

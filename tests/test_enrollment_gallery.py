@@ -562,3 +562,32 @@ def test_f32_score_matrix_cache(world, monkeypatch):
         vec = np.asarray(snap2.device_matrix[row], np.float32)
         _, ids_r = snap2.match(vec[None])
         assert ids_r[0][0] == pid
+
+
+def test_gallery_sharded_f32_with_score_cache(world, monkeypatch):
+    """Mesh path x f32 score cache: when the bf16 scoring copy is active
+    (TPU default, forced on here), the sharded match scores against it and
+    still returns the single-device identities."""
+    import jax
+
+    from facerecognition_infrenceengine_tpu.engine import gallery as gal_mod
+    from facerecognition_infrenceengine_tpu.parallel import build_mesh
+
+    monkeypatch.setattr(gal_mod, "_cache_score_matrix", lambda: True)
+    cfg, ds, client, cid, worker = world
+    for emp, seed in (("E1", 42), ("E2", 43), ("E3", 44)):
+        register(client, cid, emp, person_seed=seed)
+    worker.process_available_jobs()
+    local = GalleryManager(ds, cfg)  # same score cache, no mesh
+    mesh = build_mesh(jax.devices()[:8], data=1, gallery=8)
+    sharded = GalleryManager(ds, cfg, mesh=mesh)
+    snap = sharded.snapshot(cid)
+    assert snap.score_matrix is not None
+    probe = np.stack([fake_embedding(42, 0.03), fake_embedding(44, 0.01)])
+    s_l, ids_l, _ = local.match(probe, company_id=cid)
+    s_s, ids_s, _ = sharded.match(probe, company_id=cid)
+    assert ids_s == ids_l
+    np.testing.assert_allclose(s_s, s_l, atol=2e-2)
+    s_s3, ids_s3, _ = sharded.match(probe, company_id=cid, k=3)
+    s_l3, ids_l3, _ = local.match(probe, company_id=cid, k=3)
+    assert ids_s3 == ids_l3

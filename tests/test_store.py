@@ -557,3 +557,29 @@ def test_equality_index_is_not_a_scan(db):
         assert col.find_one({"i": 29_999}) is not None  # unindexed scan
     t_scan = time.perf_counter() - t0
     assert t_indexed < t_scan, (t_indexed, t_scan)
+
+
+def test_mongodb_uri_without_pymongo_raises_clearly():
+    """The reference runs on pymongo/Atlas (reference db/__init__.py:8-26);
+    this image has no pymongo, so the passthrough branch can only be pinned
+    to its failure contract here: a mongodb:// URI without pymongo must
+    raise the actionable RuntimeError, never fall back silently to the
+    embedded store (serving against the wrong datastore would look healthy
+    while reading nothing)."""
+    import dataclasses
+
+    import pytest
+
+    from facerecognition_infrenceengine_tpu.core.config import Config
+    from facerecognition_infrenceengine_tpu.store.client import Datastore
+
+    try:
+        import pymongo  # noqa: F401
+        pytest.skip("pymongo installed: passthrough branch is live")
+    except ImportError:
+        pass
+    cfg = Config()
+    cfg = dataclasses.replace(cfg, db=dataclasses.replace(
+        cfg.db, mongodb_uri="mongodb://example.invalid:27017"))
+    with pytest.raises(RuntimeError, match="pymongo"):
+        Datastore(cfg)
