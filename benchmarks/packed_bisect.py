@@ -66,20 +66,20 @@ def main():
     t = timed(dw_pck, engine.det_variables, packed)
     print(f"detect+warp packed B={b}: {t * 1e3:7.2f} ms", flush=True)
 
-    def full_raw(i):
-        fr = jnp.bitwise_xor(frames, (i % 251).astype(jnp.uint8))
-        return engine._fused_impl(engine.det_variables, engine.rec_variables,
-                                  fr, jnp.float32(0.3))
+    # Frames MUST ride in as loop arguments: a closure bakes the [B,640,
+    # 640,3] batch into the executable as a literal constant (118 MB at
+    # B=96), which the remote-compile tunnel rejects with HTTP 413.
+    def full_raw(dv, rv, fr, i):
+        fr = jnp.bitwise_xor(fr, (i % 251).astype(jnp.uint8))
+        return engine._fused_impl(dv, rv, fr, jnp.float32(0.3))
 
-    def full_pck(i):
-        fr = jnp.bitwise_xor(packed, (i % 251).astype(jnp.uint8))
-        return engine._fused_packed_impl(engine.det_variables,
-                                         engine.rec_variables, fr,
-                                         jnp.float32(0.3))
+    def full_pck(dv, rv, fr, i):
+        fr = jnp.bitwise_xor(fr, (i % 251).astype(jnp.uint8))
+        return engine._fused_packed_impl(dv, rv, fr, jnp.float32(0.3))
 
-    t = timed(lambda i: full_raw(i))
+    t = timed(full_raw, engine.det_variables, engine.rec_variables, frames)
     print(f"fused raw    B={b}: {t * 1e3:7.2f} ms", flush=True)
-    t = timed(lambda i: full_pck(i))
+    t = timed(full_pck, engine.det_variables, engine.rec_variables, packed)
     print(f"fused packed B={b}: {t * 1e3:7.2f} ms", flush=True)
 
 

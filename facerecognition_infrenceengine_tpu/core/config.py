@@ -144,6 +144,22 @@ class EngineConfig:
     # warp atlas needs raw-layout pixels.  Default off; "on" exists for
     # packed-input detect-only deployments and for re-measurement.
     stem_kernel: str = "off"  # "auto" (TPU only) | "on" | "off"
+    # Strategy for PACKED-INPUT programs (detect_align_embed_packed /
+    # _yuv420, the streaming wire formats).  Round-4 in-situ detect at
+    # B=96 640x640 v5e (benchmarks/packed_insitu.py; raw frames 39.7 ms):
+    # - "unpack" (41.9 ms): on-device u8 depth-to-space, then the RAW
+    #   program — XLA fuses the unpermute into the stem's input
+    #   preprocessing, so packed wire bytes cost ~2 ms of device time.
+    # - "xla" (67.5 ms): stem evaluated packed as three plain XLA convs
+    #   (models/packed_stem.packed_stem_forward_s2d4) + packed-atlas warp;
+    #   packed conv2/3 genuinely pay 4x MACs.
+    # - "pallas" (92.1 ms): VMEM-resident fused stem kernel
+    #   (ops/stem_pallas.fused_stem) + packed-atlas warp.  Wins isolated
+    #   (stem 21.8 ms vs backbone-from-argument 25.6 ms) but the custom
+    #   call is an optimization barrier: the backbone consuming its output
+    #   ran 88.7 ms vs 36.6 ms from an XLA-produced stem — a +41 ms
+    #   composition penalty no isolated probe shows.
+    packed_stem_impl: str = "unpack"  # "unpack" | "xla" | "pallas"
     # Host->device frame transport for the batched serving path:
     # "rgb" uploads raw letterboxed canvases (3 B/px, the parity default);
     # "yuv420" uploads packed 4:2:0 YUV (1.5 B/px — half the bytes on the

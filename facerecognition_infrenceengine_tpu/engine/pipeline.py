@@ -144,9 +144,9 @@ class FaceEngine:
         # Raw-frame path: the fused Pallas stem is opt-in (measured ~1.1 ms
         # slower in situ when the program must first space-to-depth raw
         # frames on device).  The PACKED-input path (detect_align_embed_
-        # packed) always uses it — that is its whole point — so the
-        # BN-folded packed kernels are precomputed whenever possible and
-        # carried as an extra collection (ordinary jit inputs).
+        # packed) uses it only when packed_stem_impl="pallas"; both stem
+        # weight sets are precomputed whenever possible and carried as
+        # extra collections (ordinary jit inputs).
         self._stem_kernel_raw = (self.cfg.stem_kernel == "on"
                                  or (self.cfg.stem_kernel == "auto"
                                      and jax.default_backend() == "tpu"))
@@ -157,6 +157,21 @@ class FaceEngine:
             det_variables = dict(det_variables)
             det_variables["stem_pallas"] = stem_pallas.precompute_fused_stem(
                 det_variables, self.detector.dtype)
+        if (self.cfg.packed_stem_impl == "xla"
+                and "packed_stem_s2d4" not in det_variables
+                and "batch_stats" in det_variables):
+            # Packed-input stem as plain XLA convs (opt-in
+            # packed_stem_impl="xla"; ~0.3 MB of BN-folded kernels) — see
+            # models/packed_stem.packed_stem_forward_s2d4.  Only built
+            # when selected: an extra collection changes det_variables'
+            # pytree structure and with it every program's compile-cache
+            # key.
+            from ..models import packed_stem
+
+            det_variables = dict(det_variables)
+            det_variables["packed_stem_s2d4"] = (
+                packed_stem.precompute_packed_stem_s2d4(
+                    det_variables, self.detector.dtype))
         self.det_variables = det_variables
         self.rec_variables = rec_variables
         self._embed_scales = None
@@ -286,18 +301,43 @@ class FaceEngine:
         """Detect from s2d4-packed u8 frames [B, H/4, W/4, 48] — the
         production input contract when the native letterbox
         (native/imagecodec.letterbox_s2d4) packs at pixel-writing time.
-        The fused Pallas stem consumes the packed layout directly, so the
-        program never pays the on-device byte transpose that made the
-        kernel a net loss from raw frames (ops/stem_pallas.py docstring).
-        """
-        from ..ops import stem_pallas
+        Three implementations (EngineConfig.packed_stem_impl, measured at
+        B=96 640x640 v5e — benchmarks/packed_insitu.py):
 
+        - "unpack" (default, 41.9 ms): undo the s2d4 permutation on device
+          and run the raw detect program — XLA fuses the u8 depth-to-space
+          into the stem's input preprocessing, so it costs ~2 ms over raw
+          frames (39.7 ms).
+        - "xla" (67.5 ms): evaluate the stem packed as plain XLA convs
+          (models/packed_stem.packed_stem_forward_s2d4); packed conv2/3
+          genuinely pay 4x MACs.
+        - "pallas" (92.1 ms): the VMEM-resident kernel
+          (ops/stem_pallas.fused_stem) — wins isolated (21.8 ms vs 25.6 ms
+          backbone) but the custom call is an optimization barrier that
+          costs the downstream backbone +41 ms.
+        """
         b, h4, w4, _ = frames_p4.shape
-        x4 = stem_pallas.pad_packed_u8(frames_p4)
-        stem_out = stem_pallas.fused_stem(
-            x4, det_variables["stem_pallas"], w4,
-            self.detector.cfg.stem_width,
-            interpret=jax.default_backend() != "tpu")
+        if self.cfg.packed_stem_impl == "unpack":
+            from ..ops.stem_pallas import depth_to_space4
+
+            return self._detect_impl(det_variables,
+                                     depth_to_space4(frames_p4),
+                                     det_threshold)
+        if (self.cfg.packed_stem_impl == "xla"
+                and "packed_stem_s2d4" in det_variables):
+            from ..models import packed_stem
+
+            stem_out = packed_stem.packed_stem_forward_s2d4(
+                frames_p4, det_variables["packed_stem_s2d4"],
+                self.detector.cfg.stem_width, self.detector.dtype)
+        else:
+            from ..ops import stem_pallas
+
+            x4 = stem_pallas.pad_packed_u8(frames_p4)
+            stem_out = stem_pallas.fused_stem(
+                x4, det_variables["stem_pallas"], w4,
+                self.detector.cfg.stem_width,
+                interpret=jax.default_backend() != "tpu")
         # Backbone runs from stem_out; x is never read on that path.
         dummy = jnp.zeros((b, 1, 1, 3), jnp.float32)
         logits, bbox, kps = self.detector.apply(det_variables, dummy,
@@ -306,7 +346,22 @@ class FaceEngine:
 
     def _fused_packed_impl(self, det_variables, rec_variables, frames_p4,
                            det_threshold):
-        """One program: packed detect -> packed-atlas align -> embed."""
+        """One program: packed detect -> align -> embed.
+
+        With packed_stem_impl="unpack" (default) the whole program IS the
+        raw fused program fed through the near-free on-device unpermute
+        (see _detect_packed_impl) — bit-identical outputs to
+        detect_align_embed on the same pixels, with the wire carrying
+        s2d4/yuv420 bytes.  The packed-atlas variant below keeps every
+        stage in packed layout; it wins isolated stages but loses
+        end-to-end at B>=24 (BASELINE.md round-4 packed-path paragraph).
+        """
+        if self.cfg.packed_stem_impl == "unpack":
+            from ..ops.stem_pallas import depth_to_space4
+
+            return self._fused_impl(det_variables, rec_variables,
+                                    depth_to_space4(frames_p4),
+                                    det_threshold)
         from ..ops.warp2pass import warp_faces_two_pass_packed
 
         boxes, scores, kps, valid = self._detect_packed_impl(
@@ -629,14 +684,24 @@ class FaceEngine:
                                        det_threshold: float = 0.3):
         """Flat-output variant of detect_align_embed_yuv420 (see
         detect_align_embed_flat)."""
-        if "stem_pallas" not in self.det_variables:
+        if not self._has_packed_stem():
             raise ValueError(
-                "yuv420 input needs the fused-stem weights (detector built "
+                "yuv420 input needs the packed-stem weights (detector built "
                 "without batch_stats?)")
         return self._fused_yuv_flat_jit(
             self.det_variables, self.rec_variables,
             jnp.asarray(frames_y24_u8), jnp.float32(det_threshold),
         )
+
+    def _has_packed_stem(self) -> bool:
+        """Whether the packed-input programs can run: the selected
+        packed_stem_impl's prerequisites are present ("unpack" runs the
+        raw program and needs nothing extra)."""
+        if self.cfg.packed_stem_impl == "unpack":
+            return True
+        if self.cfg.packed_stem_impl == "xla":
+            return "packed_stem_s2d4" in self.det_variables
+        return "stem_pallas" in self.det_variables
 
     @staticmethod
     def pack_frames(frames_u8) -> np.ndarray:
@@ -658,9 +723,9 @@ class FaceEngine:
         streaming wire format (native letterbox_yuv420_s2d4 emits it at
         1.5 B/px, HALF of RGB).  Same outputs as detect_align_embed up to
         4:2:0 chroma subsampling of the input pixels."""
-        if "stem_pallas" not in self.det_variables:
+        if not self._has_packed_stem():
             raise ValueError(
-                "yuv420 input needs the fused-stem weights (detector built "
+                "yuv420 input needs the packed-stem weights (detector built "
                 "without batch_stats?)")
         return self._fused_yuv_jit(
             self.det_variables, self.rec_variables,
@@ -672,9 +737,9 @@ class FaceEngine:
         production serving contract (hosts pack for free at letterbox
         time; the fused Pallas stem then runs without any on-device
         relayout).  Same outputs as detect_align_embed."""
-        if "stem_pallas" not in self.det_variables:
+        if not self._has_packed_stem():
             raise ValueError(
-                "packed input needs the fused-stem weights (detector built "
+                "packed input needs the packed-stem weights (detector built "
                 "without batch_stats?)")
         return self._fused_packed_jit(
             self.det_variables, self.rec_variables, jnp.asarray(frames_p4_u8),

@@ -174,6 +174,73 @@ def precompute_packed_stem(variables, dtype=jnp.float32) -> dict:
     return {"w": ws, "b": bs}
 
 
+def packed_stem_forward_s2d4(x48, packed: dict, stem_width: int,
+                             dtype=jnp.float32) -> jnp.ndarray:
+    """Evaluate the stem from s2d4-packed u8 frames — pure XLA.
+
+    x48: [B, H/4, W/4, 48] uint8, channel = (p*4 + q)*3 + c (the layout
+    the native letterbox emits; ops/stem_pallas.space_to_depth4).
+    packed: output of :func:`precompute_packed_stem_s2d4`.
+
+    This is the same math as the Pallas kernel (ops/stem_pallas.fused_stem)
+    expressed as three ordinary XLA convolutions, for the packed-input
+    serving path.  Round-4 in-situ measurement (benchmarks/packed_insitu.py,
+    B=96 640x640 v5e): the Pallas custom call is an optimization barrier to
+    XLA — the backbone consuming its output ran 88.7 ms vs 36.6 ms from
+    XLA's own stem, a +41 ms composition penalty that no isolated probe
+    shows (kernel alone 21.8 ms, backbone alone 25.6 ms).  Plain convs keep
+    the whole detect graph inside one XLA schedule.
+
+    conv1 is the original 3x3/stride-2 seen through the 4x4-packed input
+    and a 2x2-packed output (pack_stem1_4to2): a 2x2-tap stride-1 conv
+    whose left/top zero pad IS conv1's original pad-1 (preprocessed zero),
+    identical grid to the input.  conv2/conv3 and the separable max-pool
+    then run exactly as packed_stem_forward's.
+
+    Returns [B, H/4, W/4, 2*stem_width].
+    """
+    import jax
+
+    x = (x48.astype(dtype) - jnp.asarray(127.5, dtype)) * jnp.asarray(
+        1.0 / 128.0, dtype)
+    x = jax.lax.conv_general_dilated(
+        x, packed["w"][0].astype(dtype),
+        window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    x = jnp.maximum(x + packed["b"][0].astype(dtype), 0)
+    for i in (1, 2):
+        x = _conv(x, packed["w"][i].astype(dtype), 1)
+        x = jnp.maximum(x + packed["b"][i].astype(dtype), 0)
+    return _packed_maxpool_3x3s2(x, 2 * stem_width)
+
+
+def precompute_packed_stem_s2d4(variables, dtype=jnp.float32) -> dict:
+    """BN-folded kernels for :func:`packed_stem_forward_s2d4`.
+
+    Same fold as precompute_packed_stem; stem1 packs 4x4-in/2x2-out
+    (ops/stem_pallas.pack_stem1_4to2, K = 48 — no lane-pad rows, XLA
+    owns the layout), stem2/3 pack 2x2/2x2 (pack_kernel).
+    """
+    from ..ops.stem_pallas import pack_stem1_4to2
+
+    params = variables["params"]["backbone"]
+    stats = variables["batch_stats"]["backbone"]
+    ws, bs = [], []
+    for name in ("stem1", "stem2", "stem3"):
+        w = params[name]["Conv_0"]["kernel"].astype(jnp.float32)
+        bn_p, bn_s = params[name]["BatchNorm_0"], stats[name]["BatchNorm_0"]
+        inv = bn_p["scale"].astype(jnp.float32) / jnp.sqrt(
+            bn_s["var"].astype(jnp.float32) + 1e-5)
+        bias = (bn_p["bias"].astype(jnp.float32)
+                - bn_s["mean"].astype(jnp.float32) * inv)
+        wf = w * inv[None, None, None, :]
+        wp = pack_stem1_4to2(wf) if name == "stem1" else pack_kernel(wf, 1)
+        ws.append(wp.astype(dtype))
+        bs.append(jnp.tile(bias, 4).astype(dtype))
+    return {"w": ws, "b": bs}
+
+
 def packed_stem_forward(x, packed: dict, stem_width: int,
                         dtype=jnp.float32) -> jnp.ndarray:
     """Evaluate the det backbone stem (stem1/2/3 + max-pool) packed.

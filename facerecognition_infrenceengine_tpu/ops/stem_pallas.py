@@ -80,6 +80,27 @@ def space_to_depth4(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h // 4, w // 4, 16 * c)
 
 
+def depth_to_space4(x4: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth4`: [B, H/4, W/4, 16C] -> [B, H, W, C].
+
+    In situ this is nearly free: feeding the raw detect program from
+    depth_to_space4(packed) measured 41.9 ms vs 39.7 ms from raw frames
+    (B=96 640x640 v5e, benchmarks/packed_insitu.py) — XLA fuses the u8
+    permutation into the stem's input preprocessing, unlike the forward
+    (pack) direction whose standalone byte transpose costs ~1.1 ms/B=8.
+    This makes "unpack then run the raw program" the best packed-INPUT
+    strategy (EngineConfig.packed_stem_impl="unpack"), beating both this
+    module's Pallas kernel (+52 ms in situ: the custom call is an
+    optimization barrier to the backbone schedule) and the pure-XLA
+    packed stem (+27 ms: packed conv2/3 genuinely pay 4x MACs).
+    """
+    b, h4, w4, c16 = x4.shape
+    c = c16 // 16
+    x = x4.reshape(b, h4, w4, 4, 4, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h4 * 4, w4 * 4, c)
+
+
 def pack_stem1_4to2(w: jnp.ndarray) -> jnp.ndarray:
     """stem1 [3, 3, C, Co] (stride 2) -> [2, 2, 16C, 4Co].
 

@@ -157,7 +157,7 @@ function renderTree(container, nodes, opts = {}) {
 
   function applyView() {
     svg.setAttribute('viewBox', `${view.x} ${view.y} ${view.w} ${view.h}`);
-    saveViewState(opts.viewKey, { layout, box: view });
+    saveViewState(opts.viewKey, { layout, engine, box: view });
   }
   applyView();
 

@@ -81,6 +81,85 @@ def test_full_detector_forward_equivalent(arch):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_s2d4_stem_matches_flax_stem():
+    """packed_stem_forward_s2d4 (the opt-in packed_stem_impl="xla" stem)
+    == the detector's own stem on the same u8 frames."""
+    from facerecognition_infrenceengine_tpu.ops.stem_pallas import (
+        space_to_depth4)
+
+    cfg = scrfd.CONFIGS["det_10g"]
+    model = scrfd.SCRFD(cfg)
+    shape = (2, 64, 64, 3)
+    variables = _rand_variables(model, shape)
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    ref = model.apply(variables, scrfd.preprocess(jnp.asarray(frames)))
+    packed = packed_stem.precompute_packed_stem_s2d4(variables)
+    x48 = jnp.asarray(space_to_depth4(jnp.asarray(frames)))
+    stem_out = packed_stem.packed_stem_forward_s2d4(x48, packed,
+                                                    cfg.stem_width)
+    got = model.apply(variables, jnp.zeros((2, 1, 1, 3), jnp.float32),
+                      stem_out=stem_out)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_engine_packed_default_unpack_is_exact():
+    """The DEFAULT packed-input strategy ("unpack": on-device depth-to-space
+    into the raw fused program) is bit-exact vs detect_align_embed on the
+    same pixels — the quick-tier pin for the production wire format."""
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.engine.pipeline import FaceEngine
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                       dtype="float32")
+    assert cfg.packed_stem_impl == "unpack"
+    engine = FaceEngine(cfg, det_arch="det_500m", rec_arch="r18", seed=5)
+    assert engine._has_packed_stem()
+    ref = engine.detect_align_embed(frames)
+    got = engine.detect_align_embed_packed(
+        jnp.asarray(FaceEngine.pack_frames(frames)))
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+@pytest.mark.slow
+def test_engine_packed_paths_match_raw_across_stem_impls():
+    """detect_align_embed_packed agrees with the raw fused program under
+    all three packed_stem_impl values ("unpack" default: exact;
+    "xla"/"pallas": numeric)."""
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.engine.pipeline import FaceEngine
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    ref = None
+    for impl in ("unpack", "xla", "pallas"):
+        cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                           dtype="float32", packed_stem_impl=impl)
+        engine = FaceEngine(cfg, det_arch="det_500m", rec_arch="r18", seed=5)
+        assert engine._has_packed_stem()
+        assert ("packed_stem_s2d4" in engine.det_variables) == (impl == "xla")
+        packed = jnp.asarray(FaceEngine.pack_frames(frames))
+        got = engine.detect_align_embed_packed(packed)
+        if ref is None:
+            ref = engine.detect_align_embed(frames)
+        if impl == "unpack":
+            # Same pixels through the same raw program: exact.
+            for r, g in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+            continue
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g, np.float32),
+                                       np.asarray(r, np.float32),
+                                       rtol=1e-3, atol=2e-3)
+
+
 def test_engine_packed_stem_opt_in_matches_default():
     """A FaceEngine built with packed_stem=True detects identically to the
     default engine (same weights via the same seed)."""
