@@ -194,6 +194,28 @@ def device_loop_time(run, n1=4, n2=20, reps=3):
     return best
 
 
+def device_fn_time(fn, *args, n1=4, n2=20, reps=3):
+    """device_loop_time over ``fn(*args, i) -> array(s)``: the shared
+    timing harness for the benchmarks/ stage-isolation scripts.  The
+    iteration index i perturbs the inputs inside the loop so identical
+    dispatches can't be memoized; all leaves are sum-reduced into the
+    single scalar readback."""
+    def loop(a, n):
+        def body(i, acc):
+            outs = fn(*a, i)
+            return acc + sum(jnp.float32(o.sum())
+                             for o in jax.tree.leaves(outs))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    jfn = jax.jit(loop)
+
+    def run(n):
+        return float(jfn(args, jnp.int32(n)))
+
+    return device_loop_time(run, n1=n1, n2=n2, reps=reps)
+
+
 def fused_loop_runner(engine, frames, det_threshold=0.3):
     def loop(det_vars, rec_vars, fr, n):
         def body(i, acc):
@@ -308,6 +330,14 @@ def main():
         "errors": SECTION_ERRORS,
         "hbm_mb": SECTION_HBM,
         "commit": _git_commit(),
+        # Stable schema: keys that earlier rounds always carried stay
+        # present (as None) even when their section is skipped or fails,
+        # so cross-round row comparisons never KeyError.
+        "frame_latency_b1_ms": None,
+        "faces_per_sec_int8_embed_mode": None,
+        "streaming": None,
+        "streaming_yuv420": None,
+        "streaming_latency": None,
     }
     result = {
         "metric": "faces_per_sec_per_chip",
@@ -322,8 +352,13 @@ def main():
                       EngineConfig, FaceEngine)
     except BaseException as exc:  # noqa: BLE001 — the JSON line must print
         SECTION_ERRORS["fatal"] = f"{type(exc).__name__}: {exc}"[:300]
-    finally:
         print(json.dumps(result), flush=True)
+        # Per-SECTION failures are caught inside section() and leave rc=0;
+        # anything that reaches here aborted the run outside the section
+        # model (backend init, ^C, OOM-kill) — emit the partial JSON but
+        # exit nonzero so a dead run is never recorded as a datapoint.
+        raise
+    print(json.dumps(result), flush=True)
 
 
 def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
@@ -457,9 +492,16 @@ def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
     # device-only loop.  Warm shapes come from .jax_cache.
     if (jax.default_backend() == "tpu"
             and os.environ.get("BENCH_STREAMING", "1") != "0"):
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
-        import streaming as _streaming_mod
+        def _load_streaming():
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+            import streaming
+
+            return streaming
+
+        _streaming_mod = section("streaming_import", _load_streaming)
+        if _streaming_mod is None:  # error recorded; skip the 3 profiles
+            return
 
         # warmup seconds are discarded (thread ramp + pipeline fill is a
         # ~2-3 s one-time transient that would otherwise dominate the

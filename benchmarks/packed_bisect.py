@@ -6,27 +6,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import device_loop_time  # noqa: E402
-
-
-def timed(fn, *args, n1=4, n2=20):
-    def loop(a, n):
-        def body(i, acc):
-            outs = fn(*a, i)
-            return acc + sum(jnp.float32(o.sum()) for o in jax.tree.leaves(outs))
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    jfn = jax.jit(loop)
-
-    def run(n):
-        return float(jfn(args, jnp.int32(n)))
-
-    return device_loop_time(run, n1=n1, n2=n2)
+from bench import device_fn_time as timed  # noqa: E402
 
 
 def main():

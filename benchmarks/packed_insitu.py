@@ -20,27 +20,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import device_loop_time  # noqa: E402
-
-
-def time_fn(fn, *args, n1=4, n2=20):
-    def loop(a, n):
-        def body(i, acc):
-            outs = fn(*a, i)
-            return acc + sum(jnp.float32(o.sum()) for o in jax.tree.leaves(outs))
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    jfn = jax.jit(loop)
-
-    def run(n):
-        return float(jfn(args, jnp.int32(n)))
-
-    return device_loop_time(run, n1=n1, n2=n2)
+from bench import device_fn_time as time_fn  # noqa: E402
 
 
 def main():
@@ -76,13 +59,13 @@ def main():
             jnp.float32(0.3))
 
     def p_unpack_decode(d, fr, i):
-        # Alternative packed-input strategy: undo the s2d4 permutation on
-        # device (u8 depth-to-space) and run the RAW detect program.
+        # The production "unpack" strategy (packed_stem_impl default):
+        # undo the s2d4 permutation on device and run the RAW program —
+        # the same depth_to_space4 the engine path calls, so this row
+        # measures exactly what _detect_packed_impl ships.
         fr = jnp.bitwise_xor(fr, (i % 251).astype(jnp.uint8))
-        bb, h4, w4, c16 = fr.shape
-        raw = fr.reshape(bb, h4, w4, 4, 4, 3).transpose(0, 1, 3, 2, 4, 5)
-        raw = raw.reshape(bb, h4 * 4, w4 * 4, 3)
-        return engine._detect_impl(d, raw, jnp.float32(0.3))
+        return engine._detect_impl(d, stem_pallas.depth_to_space4(fr),
+                                   jnp.float32(0.3))
 
     def r_backbone(d, fr, i):
         fr = jnp.bitwise_xor(fr, (i % 251).astype(jnp.uint8))

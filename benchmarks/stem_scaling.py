@@ -21,27 +21,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import device_loop_time  # noqa: E402
-
-
-def time_fn(fn, *args, n1=4, n2=20):
-    def loop(a, n):
-        def body(i, acc):
-            outs = fn(*a, i)
-            return acc + sum(jnp.float32(o.sum()) for o in jax.tree.leaves(outs))
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    jfn = jax.jit(loop)
-
-    def run(n):
-        return float(jfn(args, jnp.int32(n)))
-
-    return device_loop_time(run, n1=n1, n2=n2)
+from bench import device_fn_time as time_fn  # noqa: E402
 
 
 def main():
@@ -55,6 +38,13 @@ def main():
                        pre_nms_topk=256, dtype="bfloat16")
     engine = FaceEngine(cfg, det_arch="det_10g", rec_arch="r50", seed=0)
     dv = engine.det_variables
+    if "packed_stem" not in dv and "batch_stats" in dv:
+        # The raw-path packed stem is opt-in (EngineConfig.packed_stem);
+        # precompute it here so the stem_xla row always prints — it is the
+        # comparison this script exists for.
+        dv = dict(dv)
+        dv["packed_stem"] = packed_stem.precompute_packed_stem(
+            dv, engine.detector.dtype)
     sw = engine.detector.cfg.stem_width
     rng = np.random.default_rng(0)
 

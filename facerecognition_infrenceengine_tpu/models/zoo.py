@@ -139,7 +139,7 @@ class FaceAnalysis:
                 or "recognition" not in self.allowed_modules
                 or "genderage" in self.allowed_modules
                 or "landmark_2d_106" in self.allowed_modules
-                or "stem_pallas" not in engine.det_variables):
+                or not engine._has_packed_stem()):
             return False
         dh, dw = self.cfg.det_size
         # scale must be exactly 1.0 (canvas == native coords, same condition

@@ -66,6 +66,24 @@ def test_converted_pack_files(pack):
                      "attr_genderage.onnx", "scrfd_det_10g.npz"]
 
 
+@pytest.mark.parametrize("trans_b", [0, 1])
+def test_gemm_weight_layout_follows_transb(trans_b):
+    """Gemm(transB=1) (torch Linear) carries [out,in] and must transpose;
+    Gemm(transB=0) carries [in,out] and must NOT — square weights make the
+    two indistinguishable by shape, so the converter reads the attribute."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4, 4)).astype(np.float32)  # square: shape can't tell
+    b = rng.normal(size=(4,)).astype(np.float32)
+    flat = {"params/fc/kernel": np.zeros((4, 4), np.float32),
+            "params/fc/bias": np.zeros((4,), np.float32)}
+    nodes = [("Gemm", ["x", "w", "b"], ["y"], {"transB": trans_b})]
+    out = convert_onnx.assign_by_execution_order(
+        flat, [("dense", "params/fc")], nodes, {"w": w, "b": b})
+    expected = w.T if trans_b else w
+    np.testing.assert_array_equal(out["params/fc/kernel"], expected)
+    np.testing.assert_array_equal(out["params/fc/bias"], b)
+
+
 def test_r50_parity_vs_torch(weights_env):
     """Converted w600k_r50 weights loaded through load_or_init drive the
     flax IResNet-50 to the torch mirror's outputs (the BASELINE.md <=1e-3

@@ -105,7 +105,7 @@ def load_onnx_graph(path: str):
                                    np.asarray(inits[ins[1]]).reshape(-1)])
             inits[n.outputs[0]] = arr
             continue
-        nodes.append((n.op_type, ins, list(n.outputs)))
+        nodes.append((n.op_type, ins, list(n.outputs), dict(n.attrs)))
     return inits, nodes
 
 
@@ -153,7 +153,7 @@ def assign_by_execution_order(flat_flax: dict, order: list, nodes: list,
         assert bn_path.startswith("params/"), bn_path
         return "batch_stats/" + bn_path[len("params/"):]
 
-    for op_type, ins, _outs in nodes:
+    for op_type, ins, _outs, attrs in nodes:
         params = [name for name in ins if name in inits]
         if not params:
             continue
@@ -216,9 +216,14 @@ def assign_by_execution_order(flat_flax: dict, order: list, nodes: list,
                     w.T.reshape(n_out, c, h, wd)
                 w = np.transpose(w, (2, 3, 1, 0)).reshape(h * wd * c, n_out)
             elif op_type == "Gemm":
-                # torch exports Linear as Gemm(transB=1): weight is [out,in]
-                # — transpose even when square (shape alone can't tell).
-                w = w.T
+                # Gemm(transB=1) — the torch Linear export — carries the
+                # weight [out,in]; transB=0 carries [in,out].  Shape alone
+                # can't tell for square weights, so consult the attribute
+                # (ONNX default 0) instead of transposing unconditionally.
+                if int(attrs.get("transB") or 0):
+                    w = w.T
+                elif tuple(w.shape) != tuple(out[key].shape):
+                    w = w.T
             elif tuple(w.shape) != tuple(out[key].shape):
                 w = w.T  # MatMul carries [in, out] already; fix mismatches
             _check_assign(out, key, w)
