@@ -349,7 +349,32 @@ def _apply_update(doc: dict, update: dict, *, on_insert: bool = False) -> bool:
                 exists, cur = _get_path(doc, path)
                 arr = cur if exists and isinstance(cur, list) else []
                 if isinstance(val, dict) and "$each" in val:
-                    arr = arr + [copy.deepcopy(v) for v in val["$each"]]
+                    unknown = set(val) - {"$each", "$slice", "$sort",
+                                          "$position"}
+                    if unknown:
+                        raise WriteError(
+                            f"Unrecognized clause in $push: {unknown.pop()}")
+                    each = [copy.deepcopy(v) for v in val["$each"]]
+                    # MongoDB modifier order: $position, then $sort, then
+                    # $slice (docs.mongodb.com $push behavior).
+                    pos = val.get("$position")
+                    if pos is None:
+                        arr = arr + each
+                    elif pos < 0:
+                        p = max(len(arr) + pos, 0)
+                        arr = arr[:p] + each + arr[p:]
+                    else:
+                        arr = arr[:pos] + each + arr[pos:]
+                    if "$sort" in val:
+                        s = val["$sort"]
+                        if isinstance(s, dict):  # sort array-of-docs by keys
+                            for k, direction in reversed(list(s.items())):
+                                arr.sort(
+                                    key=lambda v: _cmp_key(
+                                        _get_path(v, k)[1]),
+                                    reverse=direction < 0)
+                        else:  # 1 / -1: whole-element sort
+                            arr.sort(key=_cmp_key, reverse=s < 0)
                     if "$slice" in val:
                         s = val["$slice"]
                         arr = arr[s:] if s < 0 else arr[:s]
