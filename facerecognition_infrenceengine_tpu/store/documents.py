@@ -403,6 +403,68 @@ def _apply_update(doc: dict, update: dict, *, on_insert: bool = False) -> bool:
                     if len(new) != len(cur):
                         _set_path(doc, path, new)
                         changed = True
+        elif op == "$mul":
+            for path, val in fields.items():
+                exists, cur = _get_path(doc, path)
+                numeric = isinstance(cur, (int, float)) \
+                    and not isinstance(cur, bool)
+                if exists and not numeric:
+                    raise WriteError(
+                        f"Cannot apply $mul to a value of non-numeric type "
+                        f"at {path}")
+                # missing field: MongoDB creates it as zero of the
+                # multiplier's numeric type (docs.mongodb.com $mul)
+                _set_path(doc, path, (cur * val) if exists else val * 0)
+                changed = True
+        elif op == "$rename":
+            for path, new_path in fields.items():
+                if not isinstance(new_path, str) or not new_path:
+                    raise WriteError(
+                        "The 'to' field for $rename must be a non-empty "
+                        "string")
+                if path == new_path:
+                    raise WriteError(
+                        "The source and target field for $rename must "
+                        "differ")
+                exists, cur = _get_path(doc, path)
+                if not exists:
+                    continue  # missing source: $rename is a no-op
+                _unset_path(doc, path)
+                _set_path(doc, new_path, cur)
+                changed = True
+        elif op == "$pop":
+            for path, val in fields.items():
+                if val not in (1, -1):
+                    raise WriteError(
+                        "$pop expects 1 or -1, found: " + repr(val))
+                exists, cur = _get_path(doc, path)
+                if not exists:
+                    continue  # missing field: no-op
+                if not isinstance(cur, list):
+                    raise WriteError(
+                        f"Path '{path}' contains an element of non-array "
+                        "type")
+                if cur:
+                    _set_path(doc, path, cur[1:] if val == -1 else cur[:-1])
+                    changed = True
+        elif op == "$pullAll":
+            for path, vals in fields.items():
+                if not isinstance(vals, list):
+                    raise WriteError("$pullAll requires an array argument")
+                exists, cur = _get_path(doc, path)
+                if not exists:
+                    continue
+                if not isinstance(cur, list):
+                    raise WriteError(
+                        f"Cannot apply $pullAll to a non-array value at "
+                        f"{path}")
+                # exact-value equality only — $pullAll does NOT take query
+                # conditions, unlike $pull (docs.mongodb.com $pullAll)
+                new = [v for v in cur
+                       if not any(_values_equal(v, x) for x in vals)]
+                if len(new) != len(cur):
+                    _set_path(doc, path, new)
+                    changed = True
         elif op == "$currentDate":
             import datetime
 

@@ -246,3 +246,60 @@ def test_sort_missing_fields_first_ascending(db):
     c.insert_many([{"k": 2, "v": 5}, {"k": 1}, {"k": 3, "v": 1}])
     got = [d["k"] for d in c.find({}).sort("v", 1)]
     assert got == [1, 3, 2]  # missing sorts as null, lowest
+
+
+# ----------------------------------------- field/array update operators
+def test_mul_multiplies_and_creates_zero(db):
+    c = db["u"]
+    c.insert_one({"_id": 1, "n": 6})
+    c.update_one({"_id": 1}, {"$mul": {"n": 2.5, "absent": 3}})
+    doc = c.find_one({"_id": 1})
+    assert doc["n"] == 15.0
+    # missing field is created as zero (docs.mongodb.com $mul)
+    assert doc["absent"] == 0
+    c.insert_one({"_id": 2, "s": "x"})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 2}, {"$mul": {"s": 2}})
+
+
+def test_rename_moves_value_and_noops_on_missing(db):
+    c = db["u"]
+    c.insert_one({"_id": 1, "nmae": 7, "keep": 1})
+    c.update_one({"_id": 1}, {"$rename": {"nmae": "name", "ghost": "g2"}})
+    assert c.find_one({"_id": 1}) == {"_id": 1, "name": 7, "keep": 1}
+    # dotted paths: rename performs an $unset + $set pair
+    c.insert_one({"_id": 2, "a": {"b": 3}})
+    c.update_one({"_id": 2}, {"$rename": {"a.b": "c.d"}})
+    assert c.find_one({"_id": 2}) == {"_id": 2, "a": {}, "c": {"d": 3}}
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$rename": {"name": "name"}})
+
+
+def test_pop_first_and_last(db):
+    c = db["u"]
+    c.insert_one({"_id": 1, "a": [1, 2, 3]})
+    c.update_one({"_id": 1}, {"$pop": {"a": 1}})
+    assert c.find_one({"_id": 1})["a"] == [1, 2]
+    c.update_one({"_id": 1}, {"$pop": {"a": -1}})
+    assert c.find_one({"_id": 1})["a"] == [2]
+    c.update_one({"_id": 1}, {"$pop": {"missing": 1}})  # no-op, no error
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$pop": {"a": 2}})
+    c.insert_one({"_id": 2, "a": "scalar"})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 2}, {"$pop": {"a": 1}})
+
+
+def test_pullall_exact_values_only(db):
+    c = db["u"]
+    c.insert_one({"_id": 1, "a": [0, 2, 5, 5, 1, 0], "d": [{"x": 1}, {"x": 2}]})
+    c.update_one({"_id": 1}, {"$pullAll": {"a": [0, 5]}})
+    assert c.find_one({"_id": 1})["a"] == [2, 1]
+    # whole-value equality for documents — NOT query-condition matching
+    c.update_one({"_id": 1}, {"$pullAll": {"d": [{"x": 1}]}})
+    assert c.find_one({"_id": 1})["d"] == [{"x": 2}]
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$pullAll": {"a": 3}})  # not an array
+    c.insert_one({"_id": 2, "a": "scalar"})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 2}, {"$pullAll": {"a": [1]}})
