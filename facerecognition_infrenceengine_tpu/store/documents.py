@@ -1010,6 +1010,42 @@ class Collection:
                 docs = [{arg: len(docs)}]
             elif op == "$group":
                 docs = self._group(docs, arg)
+            elif op in ("$addFields", "$set"):
+                # $set is the 4.2+ alias for $addFields
+                for d in docs:
+                    for path, expr in arg.items():
+                        _set_path(d, path,
+                                  copy.deepcopy(self._resolve_expr(d, expr)))
+            elif op == "$replaceRoot":
+                out = []
+                for d in docs:
+                    root = self._resolve_expr(d, arg["newRoot"])
+                    if not isinstance(root, dict):
+                        raise ValueError(
+                            "'newRoot' expression must evaluate to an "
+                            f"object, found: {root!r}")
+                    out.append(copy.deepcopy(root))
+                docs = out
+            elif op == "$lookup":
+                foreign = self._db[arg["from"]].find({})
+                fdocs = list(foreign)
+                ffield, lfield = arg["foreignField"], arg["localField"]
+                for d in docs:
+                    _, lval = _get_path(d, lfield)  # missing joins as null
+                    # array localField: match per element AND the whole
+                    # array (MongoDB equality-match semantics)
+                    lvals = ([lval] + lval) if isinstance(lval, list) \
+                        else [lval]
+                    def _fmatch(f):
+                        fval = _get_path(f, ffield)[1]
+                        # foreign arrays use array-contains equality, like
+                        # a find() equality match
+                        fvals = ([fval] + fval) if isinstance(fval, list) \
+                            else [fval]
+                        return any(_values_equal(fv, v)
+                                   for fv in fvals for v in lvals)
+                    d[arg["as"]] = [copy.deepcopy(f) for f in fdocs
+                                    if _fmatch(f)]
             else:
                 raise ValueError(f"unsupported aggregate stage {op}")
         return docs

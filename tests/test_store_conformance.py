@@ -303,3 +303,51 @@ def test_pullall_exact_values_only(db):
     c.insert_one({"_id": 2, "a": "scalar"})
     with pytest.raises(WriteError):
         c.update_one({"_id": 2}, {"$pullAll": {"a": [1]}})
+
+
+# ------------------------------------------------- aggregation stages
+def test_lookup_equality_join(db):
+    orders = db["orders"]
+    items = db["items"]
+    items.insert_many([
+        {"_id": 1, "sku": "a", "desc": "apple"},
+        {"_id": 2, "sku": "b", "desc": "bread"},
+        {"_id": 3, "sku": None, "desc": "blank"},
+    ])
+    orders.insert_many([
+        {"_id": 10, "item": "a"},
+        {"_id": 11, "item": "z"},
+        {"_id": 12},  # missing localField joins as null
+    ])
+    rows = orders.aggregate([
+        {"$lookup": {"from": "items", "localField": "item",
+                     "foreignField": "sku", "as": "det"}},
+        {"$sort": {"_id": 1}},
+    ])
+    assert [[f["_id"] for f in r["det"]] for r in rows] == [[1], [], [3]]
+
+
+def test_lookup_array_contains_both_sides(db):
+    a = db["la"]
+    b = db["lb"]
+    b.insert_many([{"_id": 1, "tags": ["x", "y"]}, {"_id": 2, "tags": ["z"]}])
+    a.insert_one({"_id": 10, "want": ["y", "q"]})
+    rows = a.aggregate([
+        {"$lookup": {"from": "lb", "localField": "want",
+                     "foreignField": "tags", "as": "hit"}}])
+    assert [f["_id"] for f in rows[0]["hit"]] == [1]
+
+
+def test_addfields_set_alias_and_replaceroot(db):
+    c = db["ag"]
+    c.insert_one({"_id": 1, "a": 2, "sub": {"x": 7}})
+    rows = c.aggregate([
+        {"$addFields": {"b": "$a", "lit": 5}},
+        {"$set": {"c.d": "$sub.x"}},  # $set alias, dotted target path
+    ])
+    assert rows == [{"_id": 1, "a": 2, "sub": {"x": 7}, "b": 2, "lit": 5,
+                     "c": {"d": 7}}]
+    rows = c.aggregate([{"$replaceRoot": {"newRoot": "$sub"}}])
+    assert rows == [{"x": 7}]
+    with pytest.raises(ValueError):
+        c.aggregate([{"$replaceRoot": {"newRoot": "$a"}}])
