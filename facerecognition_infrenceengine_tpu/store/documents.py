@@ -180,6 +180,16 @@ def _safe_cmp(a, b) -> int | None:
     return None
 
 
+def _expr_truthy(v) -> bool:
+    """MongoDB aggregation truthiness: null/missing, false, and numeric
+    zero are falsy; EVERYTHING else — including '' and [] — is truthy."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, (int, float)) and not isinstance(v, bool) and v == 0:
+        return False
+    return True
+
+
 def _values_equal(a, b) -> bool:
     # NO ObjectId<->hex-string coercion: pymongo never matches a string
     # against an ObjectId field, and the laxity would let call sites that
@@ -1052,13 +1062,120 @@ class Collection:
 
     @staticmethod
     def _resolve_expr(doc, expr):
+        if isinstance(expr, str) and expr.startswith("$$"):
+            if expr == "$$ROOT":
+                return doc
+            raise ValueError(f"unsupported aggregation variable {expr}")
         if isinstance(expr, str) and expr.startswith("$"):
             return _get_path(doc, expr[1:])[1]
+        if isinstance(expr, list):
+            return [Collection._resolve_expr(doc, e) for e in expr]
         if isinstance(expr, dict):
+            if len(expr) == 1 and next(iter(expr)).startswith("$"):
+                op, arg = next(iter(expr.items()))
+                return Collection._eval_expr_op(doc, op, arg)
             # compound _id specs: {"d": "$day", ...} resolve per field
             return {k: Collection._resolve_expr(doc, v)
                     for k, v in expr.items()}
         return expr
+
+    @staticmethod
+    def _eval_expr_op(doc, op, arg):
+        """Aggregation expression operators (docs.mongodb.com aggregation
+        expressions): arithmetic/string ops return null when any operand
+        is null or missing; boolean ops use MongoDB truthiness (null,
+        false, and 0 are falsy — '' and [] are TRUTHY, unlike Python)."""
+        r = Collection._resolve_expr
+        if op == "$literal":
+            return copy.deepcopy(arg)
+        if op == "$cond":  # lazy: only the taken branch is evaluated
+            if isinstance(arg, dict):
+                cond, then, els = arg["if"], arg["then"], arg["else"]
+            else:
+                cond, then, els = arg
+            return r(doc, then if _expr_truthy(r(doc, cond)) else els)
+        if op == "$ifNull":  # first non-null expression, lazily
+            for e in arg[:-1]:
+                v = r(doc, e)
+                if v is not None:
+                    return v
+            return r(doc, arg[-1])
+        if op == "$and":
+            return all(_expr_truthy(r(doc, e)) for e in arg)
+        if op == "$or":
+            return any(_expr_truthy(r(doc, e)) for e in arg)
+        if op == "$not":
+            e = arg[0] if isinstance(arg, list) else arg
+            return not _expr_truthy(r(doc, e))
+        if op in ("$add", "$subtract", "$multiply", "$divide", "$mod"):
+            vals = [r(doc, e) for e in arg]
+            if any(v is None for v in vals):
+                return None
+            for v in vals:
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise ValueError(
+                        f"{op} only supports numeric types, not "
+                        f"{type(v).__name__}")
+            if op == "$add":
+                return sum(vals)
+            if op == "$multiply":
+                out = 1
+                for v in vals:
+                    out *= v
+                return out
+            if vals[1] == 0 and op in ("$divide", "$mod"):
+                raise ValueError(f"can't {op[1:]} by zero")
+            if op == "$subtract":
+                return vals[0] - vals[1]
+            if op == "$divide":
+                return vals[0] / vals[1]
+            return vals[0] % vals[1]
+        if op == "$concat":
+            vals = [r(doc, e) for e in arg]
+            if any(v is None for v in vals):
+                return None
+            if not all(isinstance(v, str) for v in vals):
+                raise ValueError("$concat only supports strings")
+            return "".join(vals)
+        if op in ("$toUpper", "$toLower"):
+            v = r(doc, arg[0] if isinstance(arg, list) else arg)
+            s = "" if v is None else v
+            if not isinstance(s, str):
+                raise ValueError(f"{op} only supports strings")
+            return s.upper() if op == "$toUpper" else s.lower()
+        if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$cmp"):
+            a, b = (r(doc, e) for e in arg)
+            if op == "$eq":
+                return _values_equal(a, b)
+            if op == "$ne":
+                return not _values_equal(a, b)
+            c = _safe_cmp(a, b)
+            if c is None:  # cross-type: order by BSON type class, coarsely
+                c = _safe_cmp(_cmp_key(a), _cmp_key(b)) or 0
+            if op == "$cmp":
+                return c
+            return {"$gt": c > 0, "$gte": c >= 0,
+                    "$lt": c < 0, "$lte": c <= 0}[op]
+        if op == "$size":
+            v = r(doc, arg[0] if isinstance(arg, list) else arg)
+            if not isinstance(v, list):
+                raise ValueError("The argument to $size must be an array")
+            return len(v)
+        if op == "$arrayElemAt":
+            a, i = (r(doc, e) for e in arg)
+            if a is None:
+                return None
+            if not isinstance(a, list):
+                raise ValueError("$arrayElemAt's first argument must be an "
+                                 "array")
+            return a[i] if -len(a) <= i < len(a) else None
+        if op == "$in":
+            v, a = (r(doc, e) for e in arg)
+            if not isinstance(a, list):
+                raise ValueError("$in requires an array as a second "
+                                 "argument")
+            return any(_values_equal(v, x) for x in a)
+        raise ValueError(f"unsupported expression operator {op}")
 
     @staticmethod
     def _group_key(gid):

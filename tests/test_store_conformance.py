@@ -351,3 +351,78 @@ def test_addfields_set_alias_and_replaceroot(db):
     assert rows == [{"x": 7}]
     with pytest.raises(ValueError):
         c.aggregate([{"$replaceRoot": {"newRoot": "$a"}}])
+
+
+# --------------------------------------------- aggregation expressions
+def test_arithmetic_expressions_null_propagation(db):
+    c = db["ex"]
+    c.insert_one({"_id": 1, "a": 6, "b": 4})
+    rows = c.aggregate([{"$addFields": {
+        "sum": {"$add": ["$a", "$b", 1]},
+        "prod": {"$multiply": ["$a", "$b"]},
+        "diff": {"$subtract": ["$a", "$b"]},
+        "quot": {"$divide": ["$a", "$b"]},
+        "rem": {"$mod": ["$a", "$b"]},
+        "nul": {"$add": ["$a", "$missing"]},  # null/missing -> null
+    }}])
+    r = rows[0]
+    assert (r["sum"], r["prod"], r["diff"], r["quot"], r["rem"], r["nul"]) \
+        == (11, 24, 2, 1.5, 2, None)
+    with pytest.raises(ValueError):
+        c.aggregate([{"$addFields": {"x": {"$divide": ["$a", 0]}}}])
+
+
+def test_cond_ifnull_and_boolean_truthiness(db):
+    c = db["ex"]
+    c.insert_one({"_id": 1, "n": 0, "s": "", "arr": []})
+    rows = c.aggregate([{"$addFields": {
+        "z": {"$cond": [{"$gt": ["$n", 5]}, "big", "small"]},
+        "obj": {"$cond": {"if": "$s", "then": "truthy", "else": "falsy"}},
+        "fb": {"$ifNull": ["$missing", "$n"]},
+        "andv": {"$and": ["$arr", "$s"]},   # '' and [] are TRUTHY
+        "orv": {"$or": ["$n", False]},      # 0 is falsy
+        "notv": {"$not": ["$n"]},
+    }}])
+    r = rows[0]
+    assert (r["z"], r["obj"], r["fb"], r["andv"], r["orv"], r["notv"]) == \
+        ("small", "truthy", 0, True, False, True)
+
+
+def test_string_array_and_comparison_expressions(db):
+    c = db["ex"]
+    c.insert_one({"_id": 1, "s": "Ab", "t": "cd", "arr": [10, 20, 30]})
+    rows = c.aggregate([{"$addFields": {
+        "cat": {"$concat": ["$s", "-", "$t"]},
+        "up": {"$toUpper": "$s"},
+        "low": {"$toLower": "$s"},
+        "n": {"$size": "$arr"},
+        "at": {"$arrayElemAt": ["$arr", -1]},
+        "oob": {"$arrayElemAt": ["$arr", 9]},
+        "has": {"$in": [20, "$arr"]},
+        "cmp": {"$cmp": ["$s", "$t"]},
+        "eq": {"$eq": ["$s", "Ab"]},
+        "root": {"$literal": "$s"},  # $literal does NOT resolve
+    }}])
+    r = rows[0]
+    assert (r["cat"], r["up"], r["low"], r["n"], r["at"], r["oob"],
+            r["has"], r["cmp"], r["eq"], r["root"]) == \
+        ("Ab-cd", "AB", "ab", 3, 30, None, True, -1, True, "$s")
+
+
+def test_group_accumulator_takes_computed_expression(db):
+    c = db["ex2"]
+    c.insert_many([{"k": "a", "q": 2, "p": 5}, {"k": "a", "q": 3, "p": 4},
+                   {"k": "b", "q": 1, "p": 7}])
+    rows = c.aggregate([
+        {"$group": {"_id": "$k",
+                    "rev": {"$sum": {"$multiply": ["$q", "$p"]}}}},
+        {"$sort": {"_id": 1}}])
+    assert rows == [{"_id": "a", "rev": 22}, {"_id": "b", "rev": 7}]
+
+
+def test_root_variable_in_replaceroot(db):
+    c = db["ex3"]
+    c.insert_one({"_id": 1, "a": 2})
+    rows = c.aggregate([{"$replaceRoot": {
+        "newRoot": {"wrapped": "$$ROOT", "b": 3}}}])
+    assert rows == [{"wrapped": {"_id": 1, "a": 2}, "b": 3}]
