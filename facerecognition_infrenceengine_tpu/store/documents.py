@@ -277,7 +277,10 @@ def _match_doc(doc: dict, query: dict) -> bool:
             if any(_match_doc(doc, q) for q in cond):
                 return False
         elif key == "$expr":
-            raise ValueError("$expr not supported")
+            # aggregation expression over the whole document; the match
+            # uses aggregation truthiness (docs.mongodb.com $expr)
+            if not _expr_truthy(Collection._resolve_expr(doc, cond)):
+                return False
         else:
             exists, value = _get_path(doc, key)
             if not _match_value(value, cond, exists):

@@ -426,3 +426,16 @@ def test_root_variable_in_replaceroot(db):
     rows = c.aggregate([{"$replaceRoot": {
         "newRoot": {"wrapped": "$$ROOT", "b": 3}}}])
     assert rows == [{"wrapped": {"_id": 1, "a": 2}, "b": 3}]
+
+
+def test_expr_query_compares_two_fields(db):
+    c = db["exq"]
+    c.insert_many([{"k": 1, "spent": 5, "budget": 9},
+                   {"k": 2, "spent": 12, "budget": 9}])
+    # $expr lets a find() compare document fields to each other
+    over = [d["k"] for d in c.find({"$expr": {"$gt": ["$spent", "$budget"]}})]
+    assert over == [2]
+    # and compose with ordinary query operators
+    got = [d["k"] for d in c.find({"k": {"$gte": 1},
+                                   "$expr": {"$lte": ["$spent", "$budget"]}})]
+    assert got == [1]
