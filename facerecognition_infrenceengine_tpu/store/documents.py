@@ -865,6 +865,36 @@ class Collection:
                     return self.find_one({"_id": res.upserted_id})
             return None
 
+    def find_one_and_replace(self, filter, replacement, upsert=False,
+                             return_document=False, sort=None):
+        if any(k.startswith("$") for k in replacement):
+            raise ValueError("replacement can not include $ operators")
+        return self.find_one_and_update(filter, replacement, upsert=upsert,
+                                        return_document=return_document,
+                                        sort=sort)
+
+    def find_one_and_delete(self, filter, sort=None):
+        """Atomically remove and return one matching document (pymongo
+        find_one_and_delete); None when nothing matches."""
+        with self._lock:
+            candidates = [(k, d) for k, d in self._candidates(filter)
+                          if _match_doc(d, filter)]
+            if sort and candidates:
+                for key, direction in reversed(
+                    [(sort, 1)] if isinstance(sort, str) else list(sort)
+                ):
+                    candidates.sort(
+                        key=lambda kd: _cmp_key(_get_path(kd[1], key)[1]),
+                        reverse=direction < 0,
+                    )
+            if not candidates:
+                return None
+            key, doc = candidates[0]
+            self._index_remove(key, doc)
+            del self._docs[key]
+            self._db._mark_dirty()
+            return doc
+
     # -- deletes
     def delete_one(self, filter) -> DeleteResult:
         with self._lock:

@@ -346,6 +346,14 @@ class RemoteCollection:
         return self._db._call(self.name, "find_one_and_update", filter,
                               update, upsert, return_document, sort)
 
+    def find_one_and_replace(self, filter, replacement, upsert=False,
+                             return_document=False, sort=None):
+        return self._db._call(self.name, "find_one_and_replace", filter,
+                              replacement, upsert, return_document, sort)
+
+    def find_one_and_delete(self, filter, sort=None):
+        return self._db._call(self.name, "find_one_and_delete", filter, sort)
+
     def delete_one(self, filter) -> documents.DeleteResult:
         return documents.DeleteResult(
             self._db._call(self.name, "delete_one", filter))

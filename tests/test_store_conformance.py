@@ -439,3 +439,22 @@ def test_expr_query_compares_two_fields(db):
     got = [d["k"] for d in c.find({"k": {"$gte": 1},
                                    "$expr": {"$lte": ["$spent", "$budget"]}})]
     assert got == [1]
+
+
+def test_find_one_and_delete_returns_doc(db):
+    c = db["fad"]
+    c.insert_many([{"_id": 1, "p": 2}, {"_id": 2, "p": 1}])
+    got = c.find_one_and_delete({"p": {"$gte": 1}}, sort=[("p", 1)])
+    assert got["_id"] == 2
+    assert c.count_documents({}) == 1
+    assert c.find_one_and_delete({"p": 99}) is None
+
+
+def test_find_one_and_replace_rejects_operators(db):
+    c = db["far"]
+    c.insert_one({"_id": 1, "a": 1})
+    before = c.find_one_and_replace({"_id": 1}, {"b": 2})
+    assert before == {"_id": 1, "a": 1}
+    assert c.find_one({"_id": 1}) == {"_id": 1, "b": 2}
+    with pytest.raises(ValueError):
+        c.find_one_and_replace({"_id": 1}, {"$set": {"x": 1}})

@@ -387,3 +387,13 @@ def test_datastore_fre_uri_and_second_process(tmp_path):
         db.close()
     finally:
         srv2.stop()
+
+
+def test_find_one_and_delete_over_wire(rdb):
+    c = rdb["fad"]
+    c.insert_many([{"_id": 1, "p": 2}, {"_id": 2, "p": 1}])
+    got = c.find_one_and_delete({"p": {"$gte": 1}}, sort=[("p", -1)])
+    assert got["_id"] == 1
+    assert c.count_documents({}) == 1
+    assert c.find_one_and_replace(
+        {"_id": 2}, {"p": 9}, return_document=True) == {"_id": 2, "p": 9}
