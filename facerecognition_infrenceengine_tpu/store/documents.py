@@ -199,6 +199,49 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+_BSON_TYPE_NAMES = {
+    1: "double", 2: "string", 3: "object", 4: "array", 7: "objectId",
+    8: "bool", 9: "date", 10: "null", 16: "int", 18: "long",
+}
+
+
+def _bson_type_of(v) -> str:
+    import datetime
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"  # python ints carry no 32/64 split; "long" aliases
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, ObjectId):
+        return "objectId"
+    if isinstance(v, datetime.datetime):
+        return "date"
+    if isinstance(v, bytes):
+        return "binData"
+    return type(v).__name__
+
+
+def _bson_type_matches(v, wanted) -> bool:
+    if isinstance(wanted, int):  # numeric BSON type codes
+        wanted = _BSON_TYPE_NAMES.get(wanted, wanted)
+    t = _bson_type_of(v)
+    if wanted == "number":
+        return t in ("int", "long", "double")
+    if wanted in ("int", "long") and t in ("int", "long"):
+        return True  # python int answers for both integer widths
+    return t == wanted
+
+
 def _match_value(value, cond, exists: bool) -> bool:
     """Match one field value against a condition (operator dict or literal)."""
     if isinstance(cond, dict) and any(k.startswith("$") for k in cond):
@@ -253,6 +296,17 @@ def _match_value(value, cond, exists: bool) -> bool:
             elif op == "$all":
                 vals = value if isinstance(value, list) else [value]
                 if not all(any(_values_equal(v, a) for v in vals) for a in arg):
+                    return False
+            elif op == "$type":
+                if not exists:
+                    return False
+                wanted = arg if isinstance(arg, list) else [arg]
+                # array fields match on the array itself OR any element
+                # (docs.mongodb.com $type querying-by-array-type)
+                vals = [value] + value if isinstance(value, list) \
+                    else [value]
+                if not any(_bson_type_matches(v, w)
+                           for v in vals for w in wanted):
                     return False
             else:
                 raise ValueError(f"unsupported query operator {op}")
@@ -355,7 +409,14 @@ def _apply_update(doc: dict, update: dict, *, on_insert: bool = False) -> bool:
         elif op == "$inc":
             for path, val in fields.items():
                 exists, cur = _get_path(doc, path)
-                _set_path(doc, path, (cur if exists and cur is not None else 0) + val)
+                # null errors too (docs.mongodb.com $inc); only a MISSING
+                # field seeds from zero
+                if exists and (not isinstance(cur, (int, float))
+                               or isinstance(cur, bool)):
+                    raise WriteError(
+                        f"Cannot apply $inc to a value of non-numeric type "
+                        f"at {path}")
+                _set_path(doc, path, (cur if exists else 0) + val)
                 changed = True
         elif op == "$push":
             for path, val in fields.items():

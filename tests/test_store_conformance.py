@@ -458,3 +458,37 @@ def test_find_one_and_replace_rejects_operators(db):
     assert c.find_one({"_id": 1}) == {"_id": 1, "b": 2}
     with pytest.raises(ValueError):
         c.find_one_and_replace({"_id": 1}, {"$set": {"x": 1}})
+
+
+def test_type_query_operator(db):
+    c = db["ty"]
+    c.insert_many([
+        {"k": 1, "v": 3}, {"k": 2, "v": 3.5}, {"k": 3, "v": "s"},
+        {"k": 4, "v": [1, "x"]}, {"k": 5, "v": None}, {"k": 6, "v": True},
+        {"k": 7},
+    ])
+    assert sorted(d["k"] for d in c.find({"v": {"$type": "number"}})) \
+        == [1, 2, 4]  # array matches per element
+    assert sorted(d["k"] for d in c.find({"v": {"$type": "string"}})) \
+        == [3, 4]
+    assert [d["k"] for d in c.find({"v": {"$type": "array"}})] == [4]
+    assert [d["k"] for d in c.find({"v": {"$type": "null"}})] == [5]
+    assert [d["k"] for d in c.find({"v": {"$type": "bool"}})] == [6]
+    # numeric BSON codes and lists of types
+    assert [d["k"] for d in c.find({"v": {"$type": 2}})] in ([3, 4], [3, 4])
+    assert sorted(d["k"] for d in c.find({"v": {"$type": ["bool", "null"]}})) \
+        == [5, 6]
+    # missing field never matches
+    assert not [d for d in c.find({"v": {"$type": "missing"}})]
+
+
+def test_inc_rejects_non_numeric_and_null(db):
+    c = db["inc"]
+    c.insert_one({"_id": 1, "s": "x", "n": None, "ok": 1})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$inc": {"s": 1}})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$inc": {"n": 1}})
+    c.update_one({"_id": 1}, {"$inc": {"ok": 2, "fresh": 5}})
+    doc = c.find_one({"_id": 1})
+    assert doc["ok"] == 3 and doc["fresh"] == 5
