@@ -200,8 +200,10 @@ def _values_equal(a, b) -> bool:
 
 
 _BSON_TYPE_NAMES = {
-    1: "double", 2: "string", 3: "object", 4: "array", 7: "objectId",
-    8: "bool", 9: "date", 10: "null", 16: "int", 18: "long",
+    1: "double", 2: "string", 3: "object", 4: "array", 5: "binData",
+    6: "undefined", 7: "objectId", 8: "bool", 9: "date", 10: "null",
+    11: "regex", 13: "javascript", 16: "int", 17: "timestamp", 18: "long",
+    19: "decimal", -1: "minKey", 127: "maxKey",
 }
 
 
@@ -233,7 +235,11 @@ def _bson_type_of(v) -> str:
 
 def _bson_type_matches(v, wanted) -> bool:
     if isinstance(wanted, int):  # numeric BSON type codes
-        wanted = _BSON_TYPE_NAMES.get(wanted, wanted)
+        if wanted not in _BSON_TYPE_NAMES:
+            # MongoDB errors on invalid numeric type codes rather than
+            # silently never-matching.
+            raise ValueError(f"Invalid numerical type code: {wanted}")
+        wanted = _BSON_TYPE_NAMES[wanted]
     t = _bson_type_of(v)
     if wanted == "number":
         return t in ("int", "long", "double")
@@ -408,6 +414,10 @@ def _apply_update(doc: dict, update: dict, *, on_insert: bool = False) -> bool:
                     changed = True
         elif op == "$inc":
             for path, val in fields.items():
+                if not isinstance(val, (int, float)) or isinstance(val, bool):
+                    raise WriteError(
+                        "Cannot increment with non-numeric argument: "
+                        f"{{{path}: {val!r}}}")
                 exists, cur = _get_path(doc, path)
                 # null errors too (docs.mongodb.com $inc); only a MISSING
                 # field seeds from zero
@@ -479,6 +489,10 @@ def _apply_update(doc: dict, update: dict, *, on_insert: bool = False) -> bool:
                         changed = True
         elif op == "$mul":
             for path, val in fields.items():
+                if not isinstance(val, (int, float)) or isinstance(val, bool):
+                    raise WriteError(
+                        "Cannot multiply with non-numeric argument: "
+                        f"{{{path}: {val!r}}}")
                 exists, cur = _get_path(doc, path)
                 numeric = isinstance(cur, (int, float)) \
                     and not isinstance(cur, bool)
@@ -1223,7 +1237,10 @@ class Collection:
                 return vals[0] - vals[1]
             if op == "$divide":
                 return vals[0] / vals[1]
-            return vals[0] % vals[1]
+            # $mod keeps the DIVIDEND's sign (C-style, like MongoDB), not
+            # Python's divisor-sign semantics: $mod: [-5, 3] is -2, not 1.
+            rem = abs(vals[0]) % abs(vals[1])
+            return rem if vals[0] >= 0 else -rem
         if op == "$concat":
             vals = [r(doc, e) for e in arg]
             if any(v is None for v in vals):

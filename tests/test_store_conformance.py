@@ -492,3 +492,54 @@ def test_inc_rejects_non_numeric_and_null(db):
     c.update_one({"_id": 1}, {"$inc": {"ok": 2, "fresh": 5}})
     doc = c.find_one({"_id": 1})
     assert doc["ok"] == 3 and doc["fresh"] == 5
+
+
+def test_mul_and_inc_reject_non_numeric_operands(db):
+    """docs.mongodb.com $mul/$inc: 'Cannot multiply/increment with
+    non-numeric argument' — the OPERAND must be numeric, not just the
+    current value (advisor r4: str*int would silently repeat the string)."""
+    c = db["ops"]
+    c.insert_one({"_id": 1, "n": 6})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$mul": {"n": "x"}})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$mul": {"absent": "x"}})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$inc": {"n": "z"}})
+    with pytest.raises(WriteError):
+        c.update_one({"_id": 1}, {"$inc": {"fresh": "z"}})
+    with pytest.raises(WriteError):  # bool is not numeric in BSON
+        c.update_one({"_id": 1}, {"$mul": {"n": True}})
+    assert c.find_one({"_id": 1}) == {"_id": 1, "n": 6}  # untouched
+    # bulk_write captures these as per-op write errors, not raw TypeError
+    from facerecognition_infrenceengine_tpu.store.documents import UpdateOne
+    with pytest.raises(Exception) as ei:
+        c.bulk_write([UpdateOne({"_id": 1}, {"$inc": {"n": "z"}})])
+    assert not isinstance(ei.value, TypeError)
+
+
+def test_aggregation_mod_keeps_dividend_sign(db):
+    """$mod is C-style (dividend's sign), unlike Python's % (divisor's)."""
+    c = db["modsign"]
+    c.insert_many([
+        {"k": 1, "a": -5, "b": 3}, {"k": 2, "a": 5, "b": -3},
+        {"k": 3, "a": 7, "b": 2}, {"k": 4, "a": -7.5, "b": 2},
+    ])
+    got = {d["k"]: d["r"] for d in c.aggregate([
+        {"$addFields": {"r": {"$mod": ["$a", "$b"]}}}])}
+    assert got[1] == -2      # Python % would say 1
+    assert got[2] == 2       # Python % would say -1
+    assert got[3] == 1
+    assert got[4] == -1.5
+    assert isinstance(got[3], int)  # int operands stay int
+
+
+def test_type_numeric_codes_binData_and_invalid(db):
+    c = db["tycodes"]
+    c.insert_many([{"k": 1, "v": b"\x00\x01"}, {"k": 2, "v": "s"}])
+    # code 5 = binData must be resolvable (advisor r4: it never matched)
+    assert [d["k"] for d in c.find({"v": {"$type": 5}})] == [1]
+    assert [d["k"] for d in c.find({"v": {"$type": "binData"}})] == [1]
+    # invalid numeric codes error like MongoDB, not silently no-match
+    with pytest.raises(Exception):
+        list(c.find({"v": {"$type": 99}}))
