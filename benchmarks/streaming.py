@@ -36,12 +36,29 @@ except Exception:
 
 
 
+def _probe_link(rng) -> float | None:
+    """Raw host->device MB/s (unique buffers + forced scalar readback —
+    block_until_ready doesn't block on this tunnel)."""
+    try:
+        import jax.numpy as jnp
+        red = jax.jit(lambda a: a.astype(jnp.int32).sum())
+        samples = []
+        for _ in range(4):
+            buf = rng.integers(0, 255, (1 << 20,), dtype=np.uint8)
+            t0 = time.perf_counter()
+            int(red(jax.device_put(buf)))
+            samples.append(buf.nbytes / (time.perf_counter() - t0) / 1e6)
+        return round(float(np.median(samples)), 1)
+    except Exception:
+        return None
+
+
 def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         app=None, quiet: bool = False, transport: str = "rgb",
         frame_hw: tuple = (480, 640), frame_queue_depth: int | None = None,
         inflight_batches: int | None = None,
         upload_on_submit: bool | None = None,
-        warmup: float = 0.0) -> dict:
+        warmup: float = 0.0, profile: str | None = None) -> dict:
     """Sustained N-camera streaming measurement through the production
     path (threads -> MicroBatcher -> fused program).  Returns a dict of
     {fps_in, fps_processed, dropped, p50_ms, p90_ms, p99_ms, ...} so
@@ -64,6 +81,22 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         if not quiet:
             print(*a, flush=True)
 
+    rng = np.random.default_rng(0)
+    pre_link = None
+    if profile == "auto" and app is None:
+        # Pick the wire format from the link the run actually got (the
+        # shared tunnel swings ~3-30 MB/s): anything transfer-bound takes
+        # the half-byte yuv420 format + capture-thread uploads; a fast
+        # local link keeps rgb.  Depth knobs start loose (2/2) and the
+        # MicroBatcher's controller tightens/loosens them online against
+        # cfg.target_p50_ms (engine/microbatch._adapt_step).
+        pre_link = _probe_link(rng)
+        say(f"  auto profile: link probe {pre_link} MB/s")
+        transfer_bound = pre_link is None or pre_link < 200.0
+        transport = "yuv420" if transfer_bound else "rgb"
+        upload_on_submit = transfer_bound
+        frame_queue_depth = 2 if frame_queue_depth is None else frame_queue_depth
+        inflight_batches = 2 if inflight_batches is None else inflight_batches
     if app is None:
         extra = {}
         if frame_queue_depth is not None:
@@ -72,6 +105,8 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
             extra["inflight_batches"] = inflight_batches
         if upload_on_submit is not None:
             extra["upload_on_submit"] = upload_on_submit
+        if profile == "auto":
+            extra["stream_profile"] = "auto"
         cfg = EngineConfig(det_size=(640, 640), max_faces=16, pre_nms_topk=256,
                            dtype="bfloat16", microbatch_max=max(16, n_cameras),
                            stream_transport=transport, **extra)
@@ -79,8 +114,6 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         app.prepare(ctx_id=0, det_thresh=0.3)
     cfg = app.cfg
     transport = cfg.stream_transport
-
-    rng = np.random.default_rng(0)
     # unique per-camera frames at camera resolution (the facade letterboxes)
     base_frames = [rng.integers(0, 255, frame_hw + (3,), dtype=np.uint8)
                    for _ in range(n_cameras)]
@@ -210,7 +243,21 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
         f"tunneled link (~20 MB/s here) dispatch is transfer-bound — "
         f"PCIe-attached chips lift this ~1000x (see bench.py for the "
         f"device-side ceiling)")
+    out_extra = {}
+    if profile == "auto":
+        out_extra = {
+            "profile": "auto",
+            "probe_mbps": pre_link,
+            "final_depth": batcher.depth,
+            "final_inflight": batcher.inflight_limit,
+            # controller trajectory: (t, p50_ms, fps, depth, inflight)
+            "adapt": batcher.adapt_log[-12:],
+        }
+        say(f"  auto: final depth={batcher.depth} "
+            f"inflight={batcher.inflight_limit} "
+            f"({len(batcher.adapt_log)} adapt steps)")
     return {
+        **out_extra,
         "cameras": n_cameras,
         "duration_s": round(wall, 1),
         "fps_submitted": round(total_submitted / wall, 1),

@@ -109,6 +109,19 @@ class EngineConfig:
     # roughly compute + dispatch overheads.  Admission control applies:
     # a frame is only uploaded if its camera slot has room.
     upload_on_submit: bool = False
+    # Adaptive streaming (the link's real bandwidth swings ~3-30 MB/s
+    # between runs; fixed knob profiles are a per-run lottery).  When
+    # stream_profile="auto", the MicroBatcher measures per-frame
+    # submit->resolve latency online and retunes frame_queue_depth /
+    # inflight_batches every adapt_interval_s: tighten one knob when the
+    # window p50 overshoots target_p50_ms; when p50 is comfortably under
+    # target AND frames are being dropped, trial-loosen one knob and keep
+    # it only if throughput actually improved.  Drop-on-full admission
+    # semantics (reference infrenceServer.py:594-598) are preserved at
+    # every depth the controller picks.
+    stream_profile: str = "static"  # "static" | "auto"
+    target_p50_ms: float = 300.0
+    adapt_interval_s: float = 2.0
     # Gallery capacity per shard bucket (static shapes; grows by doubling).
     gallery_block: int = 1024
     embed_dim: int = 512

@@ -35,6 +35,22 @@ class MicroBatcher:
         self.running = False
         self._thread = None
         self.stats = {"dispatches": 0, "frames": 0, "dropped": 0}
+        # Live knobs (start at the configured values; the "auto" profile's
+        # controller retunes them while running — see _adapt_step)
+        self.depth = max(1, int(self.cfg.frame_queue_depth))
+        self.inflight_limit = max(1, int(getattr(self.cfg,
+                                                 "inflight_batches", 1)))
+        self._inflight_n = 0
+        self._inflight_cv = threading.Condition()
+        self._adaptive = getattr(self.cfg, "stream_profile",
+                                 "static") == "auto"
+        self._lat_window: list = []       # submit->resolve seconds
+        self._lat_lock = threading.Lock()
+        self._adapt_t0 = time.perf_counter()
+        self._adapt_prev = None           # last interval's (fps, p50_ms)
+        self._adapt_trial = None          # ("depth"|"inflight", old_value)
+        self._drops_at_mark = 0
+        self.adapt_log: list = []         # (t, p50_ms, fps, depth, inflight)
 
     def start(self):
         if self.running:
@@ -76,10 +92,10 @@ class MicroBatcher:
             future.dropped = True  # type: ignore[attr-defined]
             future.set_result([])
             return future
+        future._t_submit = time.perf_counter()  # type: ignore[attr-defined]
         if prepare is not None:
             with self._lock:
-                admitted = (len(self._slots.get(source, ()))
-                            < self.cfg.frame_queue_depth)
+                admitted = (len(self._slots.get(source, ())) < self.depth)
             if not admitted:
                 future.dropped = True  # type: ignore[attr-defined]
                 future.set_result([])
@@ -89,7 +105,7 @@ class MicroBatcher:
             frame = prepare(frame)
         with self._lock:
             slot = self._slots.setdefault(source, [])
-            while len(slot) >= self.cfg.frame_queue_depth:
+            while len(slot) >= self.depth:
                 _, stale = slot.pop(0)
                 stale.dropped = True  # lets callers tell drops from no-face
                 stale.set_result([])
@@ -142,8 +158,7 @@ class MicroBatcher:
         metrics.gauge("microbatch.last_batch").set(len(frames))
         return futures, resolve
 
-    @staticmethod
-    def _resolve(inflight):
+    def _resolve(self, inflight):
         futures, resolve = inflight
         try:
             results = resolve()
@@ -151,8 +166,16 @@ class MicroBatcher:
             for fut in futures:
                 fut.set_exception(e)
             return
+        now = time.perf_counter()
+        lats = []
         for fut, faces in zip(futures, results):
             fut.set_result(faces)
+            t0 = getattr(fut, "_t_submit", None)
+            if t0 is not None:
+                lats.append(now - t0)
+        if self._adaptive and lats:
+            with self._lat_lock:
+                self._lat_window.extend(lats)
 
     def _resolver_loop(self, q):
         """Drain the in-flight queue in FIFO order, blocking on device
@@ -167,6 +190,80 @@ class MicroBatcher:
                 return
             with metrics.timer("microbatch.resolve"):
                 self._resolve(inflight)
+            with self._inflight_cv:
+                self._inflight_n -= 1
+                self._inflight_cv.notify_all()
+            if self._adaptive:
+                self._maybe_adapt()
+
+    # ------------------------------------------------- adaptive controller
+    def _maybe_adapt(self):
+        if (time.perf_counter() - self._adapt_t0
+                < getattr(self.cfg, "adapt_interval_s", 2.0)):
+            return
+        self._adapt_step()
+
+    def _adapt_step(self):
+        """One controller step (runs on the resolver thread, so knob writes
+        never race the dispatch gate mid-wait).
+
+        Policy: p50 latency in the window ~= (queued frames + batches in
+        flight) x batch cycle, so depth/inflight are THE latency knobs.
+        Overshoot of target_p50_ms tightens one knob per step (inflight
+        first: it costs a whole batch cycle of queueing).  When p50 sits
+        comfortably under target while frames are still being dropped,
+        throughput might be on the table: loosen one knob as a TRIAL and
+        keep it only if the next window shows >=5% more resolved fps at
+        acceptable p50 — measured on this link, deeper queues usually just
+        add latency (BASELINE.md round-4 streaming table), so loosening
+        must prove itself."""
+        now = time.perf_counter()
+        interval = now - self._adapt_t0
+        with self._lat_lock:
+            lats, self._lat_window = self._lat_window, []
+        self._adapt_t0 = now
+        drops = self.stats["dropped"] - self._drops_at_mark
+        self._drops_at_mark = self.stats["dropped"]
+        if len(lats) < 5:
+            self._adapt_trial = None
+            return
+        lats.sort()
+        p50 = lats[len(lats) // 2] * 1000.0
+        fps = len(lats) / max(interval, 1e-6)
+        target = getattr(self.cfg, "target_p50_ms", 300.0)
+        drop_rate = drops / max(1, drops + len(lats))
+
+        if self._adapt_trial is not None:
+            knob, old = self._adapt_trial
+            self._adapt_trial = None
+            prev_fps = self._adapt_prev[0] if self._adapt_prev else 0.0
+            if p50 > target or fps < prev_fps * 1.05:
+                self._set_knob(knob, old)  # trial didn't pay — revert
+        if p50 > target:
+            if self.inflight_limit > 1:
+                self._set_knob("inflight", self.inflight_limit - 1)
+            elif self.depth > 1:
+                self._set_knob("depth", self.depth - 1)
+        elif p50 < 0.7 * target and drop_rate > 0.05:
+            if self.depth < 4:
+                self._adapt_trial = ("depth", self.depth)
+                self._set_knob("depth", self.depth + 1)
+            elif self.inflight_limit < 2:
+                self._adapt_trial = ("inflight", self.inflight_limit)
+                self._set_knob("inflight", self.inflight_limit + 1)
+        self._adapt_prev = (fps, p50)
+        self.adapt_log.append((round(now, 2), round(p50, 1), round(fps, 1),
+                               self.depth, self.inflight_limit))
+        metrics.gauge("microbatch.depth").set(self.depth)
+        metrics.gauge("microbatch.inflight_limit").set(self.inflight_limit)
+
+    def _set_knob(self, knob: str, value: int):
+        if knob == "depth":
+            self.depth = max(1, int(value))
+        else:
+            self.inflight_limit = max(1, int(value))
+            with self._inflight_cv:
+                self._inflight_cv.notify_all()
 
     def _loop(self):
         # Pipelined dispatch: this thread only drains + preps + uploads;
@@ -177,8 +274,7 @@ class MicroBatcher:
         import queue
 
         window_s = self.cfg.microbatch_window_ms / 1000.0
-        depth = max(1, int(getattr(self.cfg, "inflight_batches", 1)))
-        inflight_q: "queue.Queue" = queue.Queue(maxsize=depth)
+        inflight_q: "queue.Queue" = queue.Queue()
         resolver = threading.Thread(target=self._resolver_loop,
                                     args=(inflight_q,), daemon=True)
         resolver.start()
@@ -186,6 +282,17 @@ class MicroBatcher:
             while self.running:
                 self._wakeup.wait(timeout=0.05)
                 self._wakeup.clear()
+                if not self.running:
+                    break
+                # In-flight gate: at most inflight_limit batches dispatched-
+                # but-unresolved beyond the one about to upload.  Waiting
+                # BEFORE draining keeps frames in their per-source slots
+                # while blocked, where drop-on-full admission still applies
+                # (a pre-drained batch would be exempt from backpressure).
+                with self._inflight_cv:
+                    while (self._inflight_n > self.inflight_limit
+                           and self.running):
+                        self._inflight_cv.wait(timeout=0.1)
                 if not self.running:
                     break
                 # small batching window: let concurrent cameras pile in
@@ -202,7 +309,9 @@ class MicroBatcher:
                 with metrics.timer("microbatch.dispatch"):
                     nxt = self._dispatch(batch)
                 if nxt is not None:
-                    inflight_q.put(nxt)  # blocks at 2 in flight
+                    with self._inflight_cv:
+                        self._inflight_n += 1
+                    inflight_q.put(nxt)
         finally:
             inflight_q.put(None)
             resolver.join(timeout=10)
