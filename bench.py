@@ -1,6 +1,12 @@
 """Benchmark: fused detect+align+embed throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline",
+"extra"} — hard-capped under FINAL_LINE_MAX chars because the driver
+records only a ~2,000-char tail of stdout and parses the LAST line
+(round 4 lost its headline to an oversized extra dict: BENCH_r04.json
+has parsed=null).  The compact extra carries just the cross-round
+comparison numbers; the FULL per-section detail goes to
+``BENCH_DETAIL.json`` next to this file and to stderr.
 Baseline: the BASELINE.md north star of 5,000 detected+aligned+embedded
 faces/sec/chip on v5e (the reference publishes no numbers of its own).
 
@@ -85,6 +91,54 @@ except Exception:
     pass
 
 BASELINE_FACES_PER_SEC = 5000.0
+FINAL_LINE_MAX = 1500  # driver tail is 2,000 chars; leave headroom
+
+
+def compose_final_line(result: dict, extras: dict) -> str:
+    """The single driver-facing JSON line: scoring schema + a minimal
+    extra, guaranteed under FINAL_LINE_MAX chars (tests/test_bench_line.py
+    pins this against a maximally-populated extras dict).  Optional keys
+    are dropped least-important-first if the cap is ever threatened."""
+    ex: dict = {"commit": extras.get("commit")}
+    if extras.get("frame_latency_b1_ms") is not None:
+        ex["b1_ms"] = extras["frame_latency_b1_ms"]
+    if extras.get("faces_per_sec_int8_embed_mode") is not None:
+        ex["int8_faces_s"] = extras["faces_per_sec_int8_embed_mode"]
+    mfu = extras.get("mfu") or {}
+    if mfu.get("fused") is not None:
+        ex["mfu_fused"] = mfu["fused"]
+    if extras.get("gallery_qps"):
+        ex["gallery_qps"] = extras["gallery_qps"]
+    stream = None
+    for key in ("streaming_auto", "streaming_latency", "streaming_yuv420",
+                "streaming"):
+        s = extras.get(key)
+        if isinstance(s, dict) and s.get("fps_processed"):
+            stream = {"profile": key.replace("streaming", "").strip("_")
+                      or "balanced",
+                      "fps": s.get("fps_processed"),
+                      "p50_ms": s.get("p50_ms"), "p90_ms": s.get("p90_ms"),
+                      "link_mbps": s.get("link_mbps")}
+            break
+    if stream:
+        ex["stream"] = stream
+    dens = extras.get("density_sweep") or {}
+    if dens:
+        ex["density_faces_s"] = {
+            k: (v or {}).get("faces_per_sec") for k, v in dens.items()}
+    if SECTION_ERRORS:
+        ex["errors"] = sorted(SECTION_ERRORS)[:8]
+    compact = {"metric": result["metric"], "value": result["value"],
+               "unit": result["unit"], "vs_baseline": result["vs_baseline"],
+               "extra": ex}
+    line = json.dumps(compact)
+    for drop in ("density_faces_s", "gallery_qps", "stream", "errors",
+                 "mfu_fused", "int8_faces_s", "b1_ms", "commit"):
+        if len(line) <= FINAL_LINE_MAX:
+            break
+        ex.pop(drop, None)
+        line = json.dumps(compact)
+    return line
 
 
 def _git_commit() -> str:
@@ -338,6 +392,9 @@ def main():
         "streaming": None,
         "streaming_yuv420": None,
         "streaming_latency": None,
+        "streaming_auto": None,
+        "mfu": None,
+        "density_sweep": None,
     }
     result = {
         "metric": "faces_per_sec_per_chip",
@@ -352,13 +409,28 @@ def main():
                       EngineConfig, FaceEngine)
     except BaseException as exc:  # noqa: BLE001 — the JSON line must print
         SECTION_ERRORS["fatal"] = f"{type(exc).__name__}: {exc}"[:300]
-        print(json.dumps(result), flush=True)
+        _emit(result, extras)
         # Per-SECTION failures are caught inside section() and leave rc=0;
         # anything that reaches here aborted the run outside the section
         # model (backend init, ^C, OOM-kill) — emit the partial JSON but
         # exit nonzero so a dead run is never recorded as a datapoint.
         raise
-    print(json.dumps(result), flush=True)
+    _emit(result, extras)
+
+
+def _emit(result: dict, extras: dict):
+    """Full detail -> BENCH_DETAIL.json + stderr; compact line -> stdout
+    (the LAST stdout line is what the driver parses — nothing may print
+    after it)."""
+    detail = json.dumps(result)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            f.write(detail + "\n")
+    except Exception as exc:
+        print(f"# BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
+    print(f"# detail: {detail}", file=sys.stderr, flush=True)
+    print(compose_final_line(result, extras), flush=True)
 
 
 def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
@@ -419,6 +491,90 @@ def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
 
             extras["faces_per_sec_int8_embed_mode"] = section(
                 "int8_embed_mode", int8_mode)
+
+    # 3b. MFU / roofline accounting (VERDICT r4 #2): analytic FLOPs from
+    # XLA's HLO cost analysis of the exact lowered programs (computed in a
+    # CPU subprocess on first use, then read from the committed
+    # benchmarks/flops_cache.json — the bench process itself never lowers
+    # extra programs, which would perturb .jax_cache's history-dependent
+    # keys).  MFU = flops / measured_seconds / peak (v5e: 197 TFLOP/s
+    # bf16, 394 TOP/s int8).
+    def mfu_sec():
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import flops as flops_mod
+
+        fl = flops_mod.get_flops(batch, max_faces)
+        if not fl:
+            return None
+        extras["flops_g"] = {k: round(v / 1e9, 1) for k, v in fl.items()
+                             if k not in ("batch", "max_faces")}
+        out = {}
+        it_ms = extras.get("fused_iter_ms")
+        if it_ms:
+            out["fused"] = flops_mod.mfu(fl["fused"], it_ms / 1000.0)
+        b1_ms = extras.get("frame_latency_b1_ms")
+        fl1 = flops_mod.get_flops(1, max_faces)
+        if b1_ms and fl1:
+            out["b1"] = flops_mod.mfu(fl1["fused"], b1_ms / 1000.0)
+        int8_fps = extras.get("faces_per_sec_int8_embed_mode")
+        if int8_fps:
+            # same conv/matmul graph, int8 MXU peak (the int8 program's
+            # dequant muls are noise next to the convs)
+            out["int8_mode"] = flops_mod.mfu(
+                fl["fused"], batch * max_faces / int8_fps,
+                peak=flops_mod.PEAK_INT8)
+        extras["mfu"] = out
+        return True
+
+    section("mfu", mfu_sec)
+
+    # 3c. Face-density sweep (VERDICT r4 #5): the reference's real
+    # workload is 1-5 faces/camera (reference peopleCount.py:857-873),
+    # not the headline's 16/frame.  max_faces IS the density knob under
+    # static shapes: the program always pays detect for the full frame
+    # plus embed for F face slots, so sweeping F maps out where the
+    # program flips detector-bound -> embed-bound.
+    if have_engine and os.environ.get("BENCH_DENSITY", "1") != "0":
+        dens: dict = {}
+        extras["density_sweep"] = dens
+        frames = state["frames"]
+        state.pop("engine", None)
+        reclaim()
+        import dataclasses
+
+        for F in (1, 4, 8):
+            def one_density(F=F):
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+                import flops as flops_mod
+
+                eng = FaceEngine(
+                    dataclasses.replace(cfg, max_faces=F),
+                    det_arch="det_10g", rec_arch="r50", seed=0)
+                try:
+                    it_s = device_loop_time(fused_loop_runner(eng, frames))
+                finally:
+                    del eng
+                flf = flops_mod.get_flops(batch, F)
+                dens[str(F)] = {
+                    "faces_per_sec": round(batch * F / it_s, 1),
+                    "iter_ms": round(it_s * 1000.0, 3),
+                    "ms_per_frame": round(it_s * 1000.0 / batch, 3),
+                    "mfu": (flops_mod.mfu(flf["fused"], it_s)
+                            if flf else None),
+                }
+                return True
+
+            section(f"density_f{F}", one_density)
+            reclaim()
+        if extras.get("fused_iter_ms"):
+            dens[str(max_faces)] = {
+                "faces_per_sec": result["value"],
+                "iter_ms": extras["fused_iter_ms"],
+                "ms_per_frame": round(extras["fused_iter_ms"] / batch, 3),
+                "mfu": (extras.get("mfu") or {}).get("fused"),
+            }
 
     # Free the engines' weights + fused executables before the gallery
     # stage builds multi-GB matrices (r03 OOMed here with them resident).
@@ -531,6 +687,16 @@ def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
                 n_cameras=n_cams, duration=stream_secs, warmup=stream_warm,
                 quiet=True, transport="yuv420", upload_on_submit=True,
                 frame_queue_depth=1, inflight_batches=1))
+        reclaim()
+        # adaptive profile (VERDICT r4 #4): transport picked from the
+        # run's own link probe, depth/inflight retuned online against
+        # target_p50_ms by the MicroBatcher controller.  Extra warmup
+        # gives the controller its first convergence steps before the
+        # measured window opens (2 s adapt interval, knobs start 2/2).
+        extras["streaming_auto"] = section(
+            "streaming_auto", lambda: _streaming_mod.run(
+                n_cameras=n_cams, duration=stream_secs,
+                warmup=stream_warm + 5, quiet=True, profile="auto"))
 
 
 if __name__ == "__main__":

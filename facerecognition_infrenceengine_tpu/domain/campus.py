@@ -120,6 +120,46 @@ class UnknownPerson:
         return obj
 
 
+class _ClusterBank:
+    """Stacked cluster-mean matrix per campus: the unknown-cluster match
+    as ONE dot product instead of a per-cluster Python scan (the
+    reference iterates clusters one `np.dot` at a time,
+    peopleCount.py:445-455 — exactly the O(N) pattern this project
+    replaces with matmuls).  Rows live in insertion order, so
+    "first cluster above threshold" is the lowest matching row index —
+    decision-identical to the reference loop.  Row upserts are O(1)
+    scatters, the host-scale mirror of engine/gallery.apply_delta."""
+
+    def __init__(self, dim: int, cap: int = 16):
+        self.matrix = np.zeros((cap, dim), np.float32)
+        self.ids: List[str] = []
+        self.index: Dict[str, int] = {}
+
+    def upsert(self, unknown_id: str, mean: np.ndarray):
+        i = self.index.get(unknown_id)
+        if i is None:
+            i = len(self.ids)
+            self.ids.append(unknown_id)
+            self.index[unknown_id] = i
+            if i >= len(self.matrix):
+                self.matrix = np.vstack(
+                    [self.matrix, np.zeros_like(self.matrix)])
+        self.matrix[i] = mean
+
+    def first_match(self, embedding: np.ndarray, threshold: float):
+        """(unknown_id, similarity) of the FIRST cluster in insertion
+        order with cos >= threshold, else None."""
+        n = len(self.ids)
+        if not n:
+            return None
+        sims = self.matrix[:n] @ np.asarray(embedding, np.float32)
+        hits = np.flatnonzero(sims >= threshold)
+        if not hits.size:
+            return None
+        i = int(hits[0])
+        return self.ids[i], float(sims[i])
+
+
 class PersonState:
     """reference peopleCount.py:94-201."""
 
@@ -243,6 +283,7 @@ class CampusPeopleManager:
         self.state_lock = threading.Lock()
         self.people_states: Dict[str, PersonState] = {}
         self.unknown_people: Dict[str, Dict[str, UnknownPerson]] = defaultdict(dict)
+        self._cluster_banks: Dict[str, _ClusterBank] = {}
         self.campus_stats: Dict[str, dict] = defaultdict(_new_campus_stats)
 
         self.update_queue_lock = threading.Lock()
@@ -329,8 +370,16 @@ class CampusPeopleManager:
                 unknown = UnknownPerson.from_doc(
                     doc, history=self.cfg.unknown_history)
                 self.unknown_people[campus_id][unknown.unknown_id] = unknown
+                self._bank(campus_id, unknown.avg_embedding.shape[0]).upsert(
+                    unknown.unknown_id, unknown.avg_embedding)
             for campus_id, clusters in self.unknown_people.items():
                 self.campus_stats[campus_id]["unique_unknowns"] = len(clusters)
+
+    def _bank(self, campus_id: str, dim: int) -> _ClusterBank:
+        bank = self._cluster_banks.get(campus_id)
+        if bank is None:
+            bank = self._cluster_banks[campus_id] = _ClusterBank(dim)
+        return bank
 
     def _queue_cluster_update(self, unknown: "UnknownPerson"):
         with self.update_queue_lock:
@@ -422,15 +471,19 @@ class CampusPeopleManager:
         if not camera_config:
             return
         campus_id = camera_config["campus_id"]
+        emb = np.asarray(face_embedding, np.float32)
         with self.state_lock:
-            matched = None
-            for unknown in self.unknown_people[campus_id].values():
-                if (unknown.compute_similarity(face_embedding)
-                        >= self.unknown_similarity_threshold):
-                    matched = unknown
-                    break
+            # One stacked-means dot product against every cluster at once;
+            # lowest matching row = the reference loop's first-above-
+            # threshold-in-insertion-order decision (peopleCount.py:445-455),
+            # pinned by tests/test_campus_counting.py.
+            bank = self._bank(campus_id, emb.shape[0])
+            hit = bank.first_match(emb, self.unknown_similarity_threshold)
+            matched = (self.unknown_people[campus_id].get(hit[0])
+                       if hit else None)
             if matched:
                 matched.update(timestamp, camera_id, face_embedding, bbox)
+                bank.upsert(matched.unknown_id, matched.avg_embedding)
                 self._queue_cluster_update(matched)
                 self.campus_stats[campus_id]["unknown_detections_today"] += 1
                 event = {
@@ -448,6 +501,8 @@ class CampusPeopleManager:
                 self.unknown_people[campus_id][unknown_id] = UnknownPerson(
                     unknown_id, campus_id, timestamp, camera_id,
                     face_embedding, bbox, history=self.cfg.unknown_history)
+                bank.upsert(unknown_id, self.unknown_people[campus_id]
+                            [unknown_id].avg_embedding)
                 self._queue_cluster_update(
                     self.unknown_people[campus_id][unknown_id])
                 stats = self.campus_stats[campus_id]

@@ -280,3 +280,50 @@ def test_unknown_clusters_survive_restart():
     mgr2.process_unknown_detection("cam1", now, emb3, [3, 4, 5, 6])
     assert len(mgr2.unknown_people["campusA"]) == 1
     assert mgr2.unknown_people["campusA"][uid].detection_count == 3
+
+
+def test_unknown_first_match_insertion_order_not_best(manager):
+    """The batched stacked-means match must reproduce the reference's
+    FIRST-above-threshold-in-insertion-order decision (reference
+    peopleCount.py:445-455 breaks on the first hit), NOT best-match:
+    a probe nearer cluster B still joins earlier-created cluster A when
+    A clears the threshold too."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=512).astype(np.float32)
+    a /= np.linalg.norm(a)
+    # b: close to a but distinct (cos(a,b) ~ 0.91; noise norm ~0.02*sqrt(512))
+    b = a + 0.02 * rng.normal(size=512).astype(np.float32)
+    b /= np.linalg.norm(b)
+    manager.process_unknown_detection("cam_in", ts(0), a, [0, 0, 1, 1])
+    # force a second cluster: probe orthogonal-ish to a
+    manager.process_unknown_detection("cam_in", ts(1), fake_embedding(99),
+                                      [0, 0, 1, 1])
+    manager.unknown_people["campusA"]["unknown_campusA_2"].embeddings.clear()
+    # overwrite cluster 2's mean to be exactly b (nearer the probe below)
+    u2 = manager.unknown_people["campusA"]["unknown_campusA_2"]
+    u2.avg_embedding = b
+    manager._bank("campusA", 512).upsert(u2.unknown_id, b)
+    probe = b  # cos(probe, cluster2)=1.0 > cos(probe, cluster1)~0.89
+    assert float(a @ probe) >= manager.unknown_similarity_threshold
+    n_before = manager.unknown_people["campusA"][
+        "unknown_campusA_1"].detection_count
+    manager.process_unknown_detection("cam_in", ts(2), probe, [0, 0, 1, 1])
+    # joined cluster 1 (insertion order), though cluster 2 scores higher
+    assert manager.unknown_people["campusA"][
+        "unknown_campusA_1"].detection_count == n_before + 1
+    assert manager.unknown_people["campusA"][
+        "unknown_campusA_2"].detection_count == 1
+
+
+def test_cluster_bank_tracks_running_means(manager):
+    """Bank rows follow avg_embedding updates so the one-matmul match
+    stays decision-identical to scanning the live cluster objects."""
+    for i in range(4):
+        manager.process_unknown_detection(
+            "cam_in", ts(i), fake_embedding(500 + i * 1000), [0, 0, 1, 1])
+    bank = manager._bank("campusA", 512)
+    people = manager.unknown_people["campusA"]
+    assert bank.ids == list(people.keys())  # insertion order preserved
+    for uid, u in people.items():
+        np.testing.assert_allclose(bank.matrix[bank.index[uid]],
+                                   u.avg_embedding, rtol=1e-6)
