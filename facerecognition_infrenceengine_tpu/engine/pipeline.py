@@ -746,7 +746,7 @@ class FaceEngine:
             jnp.float32(det_threshold),
         )
 
-    def make_sharded_fused(self, mesh):
+    def make_sharded_fused(self, mesh, variant: str = "raw"):
         """Data-parallel fused program over a mesh's 'data' axis.
 
         Model variables replicate; the frame batch shards over 'data', so N
@@ -754,8 +754,12 @@ class FaceEngine:
         communication (detection is embarrassingly parallel over frames —
         the collectives live in the gallery match, parallel/topk.py).
 
-        Returns fn(frames_u8 [B, H, W, 3], det_threshold) with B divisible
-        by the data-axis size.
+        ``variant`` selects the serving contract:
+          "raw"      — fn(frames_u8 [B, H, W, 3]) -> 5 outputs
+          "flat"     — fn(frames_u8 [B, H, W, 3]) -> one [B, F, 528]
+          "yuv_flat" — fn(frames_y24 [B, rows<=H/4, W/4, 24]) -> [B, F, 528]
+                       (the streaming wire format + single-readback output)
+        B must be divisible by the data-axis size.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -763,7 +767,10 @@ class FaceEngine:
         batch_sh = NamedSharding(mesh, P("data", None, None, None))
         det_vars = jax.device_put(self.det_variables, replicated)
         rec_vars = jax.device_put(self.rec_variables, replicated)
-        fused = jax.jit(self._fused_impl,
+        impl = {"raw": self._fused_impl,
+                "flat": self._fused_flat_impl,
+                "yuv_flat": self._fused_yuv_flat_impl}[variant]
+        fused = jax.jit(impl,
                         in_shardings=(replicated, replicated, batch_sh, None),
                         static_argnums=())
 
