@@ -1,0 +1,94 @@
+"""Mechanical .jax_cache policy check (VERDICT r4 #8).
+
+The committed compile cache exists so the DRIVER's ``python bench.py`` /
+``python __graft_entry__.py`` runs hit warm compiles.  Cache keys are
+in-process-history dependent on this stack (CLAUDE.md "TPU tunnel
+gotchas"), so the only entries that can ever be hit are the ones written
+by those two commands run verbatim; anything else is dead weight that
+accretes in git history.
+
+Policy, enforced by tests/test_jax_cache_policy.py on every run:
+  1. total size <= SIZE_CEILING_MB;
+  2. every entry in .jax_cache/ appears in tools/jax_cache_manifest.json —
+     the ledger written at rebuild time — so orphan entries cannot be
+     committed silently.
+
+Rebuild procedure (TPU host):
+    rm -rf .jax_cache
+    python bench.py
+    python __graft_entry__.py
+    python tools/check_jax_cache.py --update   # regenerate the manifest
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE_DIR = os.path.join(REPO, ".jax_cache")
+MANIFEST = os.path.join(REPO, "tools", "jax_cache_manifest.json")
+SIZE_CEILING_MB = 200.0
+
+
+def cache_entries() -> dict:
+    """{filename: size_bytes} for every cache entry on disk."""
+    if not os.path.isdir(CACHE_DIR):
+        return {}
+    out = {}
+    for name in sorted(os.listdir(CACHE_DIR)):
+        path = os.path.join(CACHE_DIR, name)
+        if os.path.isfile(path):
+            out[name] = os.path.getsize(path)
+    return out
+
+
+def load_manifest() -> dict:
+    try:
+        with open(MANIFEST) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"entries": {}, "total_mb": 0.0}
+
+
+def check() -> list:
+    """-> list of violation strings (empty = policy holds)."""
+    entries = cache_entries()
+    problems = []
+    total_mb = sum(entries.values()) / 1e6
+    if total_mb > SIZE_CEILING_MB:
+        problems.append(
+            f"cache size {total_mb:.1f} MB exceeds ceiling "
+            f"{SIZE_CEILING_MB} MB")
+    manifest = load_manifest()
+    known = set(manifest.get("entries", {}))
+    orphans = sorted(set(entries) - known)
+    if orphans:
+        problems.append(
+            f"{len(orphans)} cache entries not in the manifest (written by "
+            f"something other than the verbatim bench/entry rebuild): "
+            + ", ".join(o[:24] for o in orphans[:5])
+            + ("..." if len(orphans) > 5 else ""))
+    return problems
+
+
+def update_manifest():
+    entries = cache_entries()
+    with open(MANIFEST, "w") as f:
+        json.dump({
+            "entries": entries,
+            "total_mb": round(sum(entries.values()) / 1e6, 1),
+            "count": len(entries),
+        }, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"manifest: {len(entries)} entries, "
+          f"{sum(entries.values()) / 1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    if "--update" in sys.argv:
+        update_manifest()
+        sys.exit(0)
+    problems = check()
+    for p in problems:
+        print(f"POLICY VIOLATION: {p}")
+    sys.exit(1 if problems else 0)
