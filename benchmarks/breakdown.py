@@ -110,11 +110,22 @@ def main():
         return jnp.float32(emb.sum()) + s.sum()
     rows.append(("fused", loop_time(fused, (e.det_variables, e.rec_variables, frames))))
 
+    # per-stage MFU from the analytic FLOP counts (benchmarks/flops.py):
+    # stage name here -> flops-cache key
+    import flops as flops_mod
+
+    fl = flops_mod.get_flops(batch, max_faces) or {}
+    key_of = {"scrfd_fwd": "scrfd_fwd", "detect+nms": "detect",
+              "warp_x%d" % m: "warp", "iresnet50_x%d" % m: "embed",
+              "fused": "fused"}
+
     print(f"B={batch} max_faces={max_faces} (M={m} face slots/iter)")
     for name, s in rows:
-        print(f"  {name:<18} {s*1000:8.2f} ms/iter   "
-              f"{m/s:10.0f} faces/s" if "fused" in name or "x" in name
-              else f"  {name:<18} {s*1000:8.2f} ms/iter")
+        mfu = flops_mod.mfu(fl.get(key_of.get(name, "")), s)
+        mfu_s = f"  mfu={mfu:.1%}" if mfu is not None else ""
+        rate = (f"   {m/s:10.0f} faces/s"
+                if "fused" in name or "x" in name else "")
+        print(f"  {name:<18} {s*1000:8.2f} ms/iter{rate}{mfu_s}")
 
 
 if __name__ == "__main__":

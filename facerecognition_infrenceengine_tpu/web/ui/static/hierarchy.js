@@ -45,11 +45,16 @@ function renderTree(container, nodes, opts = {}) {
 
   const saved = loadViewState(opts.viewKey) || {};
   const layout = saved.layout === 'horizontal' ? 'horizontal' : 'vertical';
-  // two layout ENGINES, mirroring the reference's dagre/klay choice
-  // (reference entity-definitions.js:4-5): 'tidy' centers parents over
-  // their children (dagre-like), 'compact' left-aligns parents over the
-  // first child for a dense layered outline (klay-like)
-  const engine = saved.engine === 'compact' ? 'compact' : 'tidy';
+  // Layout ENGINES, mirroring the reference's dagre/klay choice
+  // (reference entity-definitions.js:4-5): 'tidy' reserves a column per
+  // subtree and centers parents over children (dagre-like); 'compact'
+  // left-aligns parents over the first child; 'layered' is a genuine
+  // Sugiyama pipeline — layer assignment, barycenter crossing-reduction
+  // sweeps, median coordinate refinement — packing each layer densely
+  // like klay does (a deep unbalanced tree renders far narrower than the
+  // tidy engines, at the cost of allowing edge crossings).
+  const engine = ['compact', 'layered'].includes(saved.engine)
+    ? saved.engine : 'tidy';
 
   const byId = new Map(nodes.map(n => [n.id, { ...n, children: [] }]));
   const roots = [];
@@ -91,7 +96,59 @@ function renderTree(container, nodes, opts = {}) {
       ? node.children[0].col
       : (node.children[0].col + node.children[node.children.length - 1].col) / 2;
   }
-  for (const r of roots) { place(r, 0); nextCol += 0.35; }
+  // Layered (Sugiyama) layout: nodes share x-slots per LAYER, not per
+  // subtree.  Order within each layer is settled by alternating
+  // barycenter sweeps (each node to the mean index of its neighbors in
+  // the adjacent layer — the classic crossing-reduction heuristic), then
+  // x-coordinates are refined toward the median of each node's children
+  // under a no-overlap constraint.
+  function placeLayered() {
+    const layers = [];
+    const walk = (n, d) => {
+      n.depth = d;
+      maxDepth = Math.max(maxDepth, d);
+      (layers[d] = layers[d] || []).push(n);
+      n.children.forEach(c => walk(c, d + 1));
+    };
+    roots.forEach(r => walk(r, 0));
+    for (let it = 0; it < 4; it++) {
+      for (let d = 1; d < layers.length; d++) {       // down: follow parents
+        const pos = new Map(layers[d - 1].map((n, i) => [n.id, i]));
+        layers[d].forEach((n, i) => {
+          const p = n.parentId ? pos.get(n.parentId) : undefined;
+          n._b = (p === undefined) ? i : p;
+        });
+        layers[d].sort((a, b) => a._b - b._b);
+      }
+      for (let d = layers.length - 2; d >= 0; d--) {  // up: follow children
+        const pos = new Map(layers[d + 1].map((n, i) => [n.id, i]));
+        layers[d].forEach((n, i) => {
+          const cs = n.children.map(c => pos.get(c.id));
+          n._b = cs.length ? cs.reduce((a, b) => a + b, 0) / cs.length : i;
+        });
+        layers[d].sort((a, b) => a._b - b._b);
+      }
+    }
+    layers.forEach(L => L.forEach((n, i) => { n.col = i; }));
+    for (let d = layers.length - 2; d >= 0; d--) {    // median refinement
+      let minCol = 0;
+      for (const n of layers[d]) {
+        const cs = n.children.map(c => c.col);
+        const want = cs.length
+          ? (Math.min.apply(null, cs) + Math.max.apply(null, cs)) / 2
+          : n.col;
+        n.col = Math.max(want, minCol);
+        minCol = n.col + 1;
+      }
+    }
+    nextCol = 1;
+    layers.forEach(L => L.forEach(n => { nextCol = Math.max(nextCol, n.col + 1); }));
+  }
+  if (engine === 'layered') {
+    placeLayered();
+  } else {
+    for (const r of roots) { place(r, 0); nextCol += 0.35; }
+  }
 
   let width = Math.max(1, nextCol) * (NODE_W + GAP_X) + GAP_X;
   let height = (maxDepth + 1) * (NODE_H + GAP_Y) + GAP_Y / 2;
@@ -120,7 +177,8 @@ function renderTree(container, nodes, opts = {}) {
   });
   const engineSel = el('select', { class: 'diagram-layout', title: 'Layout engine' });
   for (const [val, label] of [['tidy', 'Tidy (centered)'],
-                              ['compact', 'Compact (layered)']]) {
+                              ['compact', 'Compact (left-aligned)'],
+                              ['layered', 'Layered (klay)']]) {
     const o = el('option', { value: val }, label);
     if (val === engine) o.setAttribute('selected', 'selected');
     engineSel.append(o);
