@@ -14,8 +14,9 @@ import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 import flax.linen as nn
-if jax.default_backend() == "tpu":
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+if (jax.default_backend() == "tpu"
+        and not jax.config.jax_compilation_cache_dir):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fre_bench_scratch_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from facerecognition_infrenceengine_tpu.core.config import EngineConfig

@@ -33,13 +33,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# TPU-only persistent compile cache (XLA:CPU AOT entries are
-# machine-specific and can SIGILL elsewhere).
-if jax.default_backend() == "tpu":
+# Scratch compile cache (TPU-only): standalone benchmark runs have a
+# different in-process compile history than bench.py, so writing the
+# committed .jax_cache would only create orphan entries the driver
+# can never hit (tools/check_jax_cache.py fails on them).  A scratch
+# dir still keeps this script's own reruns warm.
+if (jax.default_backend() == "tpu"
+        and not jax.config.jax_compilation_cache_dir):
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"))
+        "/tmp/fre_bench_scratch_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -21,14 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-# TPU-only persistent compile cache (XLA:CPU AOT entries are
-# machine-specific and can SIGILL elsewhere).
+# Scratch compile cache (TPU-only): standalone benchmark runs have a
+# different in-process compile history than bench.py, so writing the
+# committed .jax_cache would only create orphan entries the driver
+# can never hit (tools/check_jax_cache.py fails on them).  A scratch
+# dir still keeps this script's own reruns warm.
 try:
     import jax as _jax_cache_gate
-    if _jax_cache_gate.default_backend() == "tpu":
+    # never override an ALREADY-configured cache: bench.py imports
+    # streaming mid-run with .jax_cache active, and hijacking the dir
+    # would divert the committed cache's entries to scratch
+    if (_jax_cache_gate.default_backend() == "tpu"
+            and not _jax_cache_gate.config.jax_compilation_cache_dir):
         _jax_cache_gate.config.update(
             "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+            "/tmp/fre_bench_scratch_cache")
         _jax_cache_gate.config.update(
             "jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
