@@ -176,3 +176,28 @@ def _tiny_yuv_app(**extra):
     app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
     app.prepare(ctx_id=0, det_thresh=0.3)
     return app
+
+
+@pytest.mark.slow
+def test_streaming_auto_profile_smoke():
+    """profile="auto" end-to-end on CPU: the MicroBatcher controller is
+    live (stream_profile="auto" in cfg), the result carries the adapt
+    trajectory + final knobs, and frames flow."""
+    import streaming as streaming_mod
+
+    from facerecognition_infrenceengine_tpu.core.config import EngineConfig
+    from facerecognition_infrenceengine_tpu.models.zoo import FaceAnalysis
+
+    cfg = EngineConfig(det_size=(64, 64), max_faces=4, pre_nms_topk=16,
+                       dtype="float32", microbatch_max=4,
+                       microbatch_window_ms=2.0, stream_profile="auto",
+                       target_p50_ms=150.0, adapt_interval_s=0.3,
+                       frame_queue_depth=2, inflight_batches=2)
+    app = FaceAnalysis(cfg=cfg, allowed_modules=("detection", "recognition"))
+    app.prepare(ctx_id=0, det_thresh=0.3)
+    stats = streaming_mod.run(n_cameras=2, duration=2.5, fps=30.0, app=app,
+                              quiet=True, profile="auto")
+    assert stats["profile"] == "auto"
+    assert stats["final_depth"] >= 1 and stats["final_inflight"] >= 1
+    assert isinstance(stats["adapt"], list)
+    assert stats["fps_processed"] > 0
