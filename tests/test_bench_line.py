@@ -100,3 +100,27 @@ def test_cap_enforced_under_pathological_bloat(monkeypatch):
     line = bench.compose_final_line(_result(extras), extras)
     assert len(line) <= bench.FINAL_LINE_MAX
     assert json.loads(line)["value"] == 7491.3
+
+
+def test_emit_writes_detail_and_prints_compact_last(monkeypatch, tmp_path, capsys):
+    """_emit: full detail -> BENCH_DETAIL.json + stderr, compact line ->
+    stdout as the LAST line (the driver parses stdout's final line)."""
+    import os
+
+    monkeypatch.setattr(bench, "SECTION_ERRORS", {})
+    extras = _maximal_extras()
+    extras["errors"] = {}
+    result = _result(extras)
+    # redirect the detail file into tmp_path (_emit anchors it at
+    # dirname(bench.__file__))
+    target_dir = str(tmp_path)
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: target_dir)
+    bench._emit(result, extras)
+    captured = capsys.readouterr()
+    lines = [ln for ln in captured.out.strip().splitlines() if ln]
+    final = json.loads(lines[-1])
+    assert final["value"] == 7491.3
+    assert len(lines[-1]) <= bench.FINAL_LINE_MAX
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["extra"]["gallery_match_call_ms"]  # full detail survives
+    assert "# detail:" in captured.err
