@@ -27,7 +27,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE_DIR = os.path.join(REPO, ".jax_cache")
 MANIFEST = os.path.join(REPO, "tools", "jax_cache_manifest.json")
-SIZE_CEILING_MB = 200.0
+# Round-5 rebuild measures 242 MB for the full bench+entry program set —
+# the r5 face-density sweep alone adds three ~20 MB fused-loop programs
+# (F=1/4/8) on top of r4's ~190 MB.  260 gives ~7% headroom over the
+# measured set while still catching accretion (an orphan fused program
+# is ~12-22 MB, i.e. 2-3 strays trip the ceiling).
+SIZE_CEILING_MB = 260.0
 
 
 def cache_entries() -> dict:
@@ -42,6 +47,30 @@ def cache_entries() -> dict:
     return out
 
 
+def tracked_entries() -> dict:
+    """{filename: size_bytes} for the GIT-TRACKED cache entries — the set
+    the policy judges.  Untracked strays are expected in a working
+    checkout: the streaming sections' micro-batch buckets depend on the
+    run's link conditions, so any fresh ``python bench.py`` (including
+    the driver's own) may compile a bucket shape the committed set lacks.
+    Those strays only become policy violations if someone ``git add``s
+    them without regenerating the manifest.  Falls back to the on-disk
+    listing when git is unavailable."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            ["git", "ls-files", "--", ".jax_cache"],
+            capture_output=True, text=True, timeout=10, cwd=REPO)
+        if r.returncode != 0:
+            return cache_entries()
+        names = {os.path.basename(p) for p in r.stdout.split() if p}
+    except Exception:
+        return cache_entries()
+    disk = cache_entries()
+    return {n: disk.get(n, 0) for n in sorted(names)}
+
+
 def load_manifest() -> dict:
     try:
         with open(MANIFEST) as f:
@@ -51,21 +80,27 @@ def load_manifest() -> dict:
 
 
 def check() -> list:
-    """-> list of violation strings (empty = policy holds)."""
-    entries = cache_entries()
+    """-> list of violation strings (empty = policy holds).
+
+    Judges the COMMITTED (git-tracked) cache: fresh TPU runs legitimately
+    write link-condition-dependent streaming bucket shapes that are not in
+    the committed set, and those untracked strays must not fail the tree —
+    they fail only if committed without a manifest regen."""
+    entries = tracked_entries()
     problems = []
     total_mb = sum(entries.values()) / 1e6
     if total_mb > SIZE_CEILING_MB:
         problems.append(
-            f"cache size {total_mb:.1f} MB exceeds ceiling "
+            f"committed cache size {total_mb:.1f} MB exceeds ceiling "
             f"{SIZE_CEILING_MB} MB")
     manifest = load_manifest()
     known = set(manifest.get("entries", {}))
     orphans = sorted(set(entries) - known)
     if orphans:
         problems.append(
-            f"{len(orphans)} cache entries not in the manifest (written by "
-            f"something other than the verbatim bench/entry rebuild): "
+            f"{len(orphans)} committed cache entries not in the manifest "
+            f"(written by something other than the verbatim bench/entry "
+            f"rebuild, or committed without --update): "
             + ", ".join(o[:24] for o in orphans[:5])
             + ("..." if len(orphans) > 5 else ""))
     return problems
