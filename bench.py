@@ -126,8 +126,9 @@ def compose_final_line(result: dict, extras: dict) -> str:
     if dens:
         ex["density_faces_s"] = {
             k: (v or {}).get("faces_per_sec") for k, v in dens.items()}
-    if SECTION_ERRORS:
-        ex["errors"] = sorted(SECTION_ERRORS)[:8]
+    errs = extras.get("errors") or {}
+    if errs:
+        ex["errors"] = sorted(errs)[:8]
     compact = {"metric": result["metric"], "value": result["value"],
                "unit": result["unit"], "vs_baseline": result["vs_baseline"],
                "extra": ex}
@@ -452,8 +453,13 @@ def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
     # 1. Headline throughput: faces/sec through the full fused program.
     if have_engine:
         def thru():
+            # reps=5 (not the default 3): the headline is scored against a
+            # hard floor and the tunnel adds ~±1% of best-of jitter; extra
+            # reps re-run the SAME jitted program (dynamic trip count), so
+            # the compile set/order — and the committed cache — are
+            # untouched.
             it_s = device_loop_time(
-                fused_loop_runner(state["engine"], state["frames"]))
+                fused_loop_runner(state["engine"], state["frames"]), reps=5)
             extras["fused_iter_ms"] = round(it_s * 1000.0, 3)
             return batch * max_faces / it_s
 
@@ -519,11 +525,16 @@ def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
             out["b1"] = flops_mod.mfu(fl1["fused"], b1_ms / 1000.0)
         int8_fps = extras.get("faces_per_sec_int8_embed_mode")
         if int8_fps:
-            # same conv/matmul graph, int8 MXU peak (the int8 program's
-            # dequant muls are noise next to the convs)
-            out["int8_mode"] = flops_mod.mfu(
-                fl["fused"], batch * max_faces / int8_fps,
-                peak=flops_mod.PEAK_INT8)
+            # Mixed-precision roofline fraction: in embed-int8 mode only
+            # the IResNet runs int8 — the det_10g detector still runs
+            # bf16 — so the honest utilization number is
+            # lower-bound-time / measured-time with each portion at its
+            # own peak (detect@bf16, the rest@int8).  A single-peak
+            # divide would blend units and understate the embedder.
+            t8 = batch * max_faces / int8_fps
+            lb = (fl["detect"] / flops_mod.PEAK_BF16
+                  + (fl["fused"] - fl["detect"]) / flops_mod.PEAK_INT8)
+            out["int8_mode"] = round(lb / t8, 4)
         extras["mfu"] = out
         return True
 
@@ -568,6 +579,10 @@ def _run_sections(result, extras, batch, max_faces, EngineConfig, FaceEngine):
 
             section(f"density_f{F}", one_density)
             reclaim()
+        # drop the local device-frame ref NOW: state.clear() below exists
+        # to free HBM before the gallery stage builds multi-GB matrices,
+        # and this binding would otherwise pin ~118 MB past it
+        del frames
         if extras.get("fused_iter_ms"):
             dens[str(max_faces)] = {
                 "faces_per_sec": result["value"],

@@ -146,20 +146,9 @@ def run(n_cameras: int = 8, duration: float = 20.0, fps: float = 30.0,
     # forced scalar readback — block_until_ready doesn't block here) right
     # before the window so a congested link is distinguishable from a
     # pipeline regression when reading fps_processed.
-    link_mbps = None
-    try:
-        import jax.numpy as jnp
-        red = jax.jit(lambda a: a.astype(jnp.int32).sum())
-        samples = []
-        for _ in range(4):
-            buf = rng.integers(0, 255, (1 << 20,), dtype=np.uint8)
-            t0 = time.perf_counter()
-            int(red(jax.device_put(buf)))
-            samples.append(buf.nbytes / (time.perf_counter() - t0) / 1e6)
-        link_mbps = round(float(np.median(samples)), 1)
+    link_mbps = _probe_link(rng)
+    if link_mbps is not None:
         say(f"  link probe: {link_mbps} MB/s host->device")
-    except Exception:
-        pass
 
     batcher = MicroBatcher(app, cfg)
     batcher.start()

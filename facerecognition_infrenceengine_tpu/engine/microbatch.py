@@ -233,13 +233,22 @@ class MicroBatcher:
         target = getattr(self.cfg, "target_p50_ms", 300.0)
         drop_rate = drops / max(1, drops + len(lats))
 
+        reverted_trial = False
         if self._adapt_trial is not None:
             knob, old = self._adapt_trial
             self._adapt_trial = None
             prev_fps = self._adapt_prev[0] if self._adapt_prev else 0.0
             if p50 > target or fps < prev_fps * 1.05:
                 self._set_knob(knob, old)  # trial didn't pay — revert
-        if p50 > target:
+                reverted_trial = True
+        if reverted_trial:
+            # The window's latency was produced BY the trial knob we just
+            # undid; tightening a second knob off that evidence would be a
+            # double movement (one knob per step) and makes the controller
+            # oscillate between over-tight and trial states instead of
+            # settling at the pre-trial point.
+            pass
+        elif p50 > target:
             if self.inflight_limit > 1:
                 self._set_knob("inflight", self.inflight_limit - 1)
             elif self.depth > 1:
@@ -267,9 +276,10 @@ class MicroBatcher:
 
     def _loop(self):
         # Pipelined dispatch: this thread only drains + preps + uploads;
-        # a resolver thread blocks on device results.  The bounded queue
-        # (depth 2) is the backpressure — at most two batches in flight
-        # keeps worst-case latency ~2 cycles while the upload link, the
+        # a resolver thread blocks on device results.  Backpressure is the
+        # _inflight_cv gate below (at most inflight_limit batches
+        # dispatched-but-unresolved — runtime-tunable by the adaptive
+        # controller, unlike a queue bound), so the upload link, the
         # streaming bottleneck, never waits on a result round-trip.
         import queue
 

@@ -93,6 +93,32 @@ def test_trial_kept_when_fps_improves():
     assert mb.depth == 3 and mb._adapt_trial == ("depth", 2)
 
 
+def test_failed_trial_reverts_without_tightening_further():
+    """One knob movement per step: a trial that overshoots p50 is reverted,
+    and that window's latency — produced BY the trial — must not also
+    drive a tighten of a second knob (that double movement oscillates
+    between over-tight and trial states instead of settling)."""
+    mb = MicroBatcher(_FakeApp(), _auto_cfg())  # depth=2, inflight=2
+    # window 1: cheap + drops -> trial depth 2 -> 3
+    _feed_window(mb, 20.0)
+    mb.stats["dropped"] = 50
+    mb._adapt_t0 = 0.0
+    mb._adapt_step()
+    assert mb.depth == 3 and mb._adapt_trial == ("depth", 2)
+    # window 2: trial overshot target -> revert depth to 2, and ONLY that:
+    # inflight stays 2 (no second movement off trial-caused latency)
+    _feed_window(mb, 400.0)
+    mb._adapt_t0 = 0.0
+    mb._adapt_step()
+    assert (mb.depth, mb.inflight_limit) == (2, 2)
+    assert mb._adapt_trial is None
+    # window 3: still over target with no trial active -> normal tighten
+    _feed_window(mb, 400.0)
+    mb._adapt_t0 = 0.0
+    mb._adapt_step()
+    assert (mb.depth, mb.inflight_limit) == (2, 1)
+
+
 def test_static_profile_records_no_latency_window():
     mb = MicroBatcher(_FakeApp(), EngineConfig(stream_profile="static"))
     assert not mb._adaptive

@@ -480,6 +480,13 @@ def test_type_query_operator(db):
         == [5, 6]
     # missing field never matches
     assert not [d for d in c.find({"v": {"$type": "missing"}})]
+    # deprecated-but-valid numeric codes (symbol=14, dbPointer=12,
+    # javascriptWithScope=15) are legal queries that simply match nothing
+    # here — MongoDB accepts them; only genuinely invalid codes error
+    for code in (12, 14, 15):
+        assert not list(c.find({"v": {"$type": code}}))
+    with pytest.raises(Exception):
+        list(c.find({"v": {"$type": 99}}))
 
 
 def test_inc_rejects_non_numeric_and_null(db):

@@ -108,6 +108,7 @@ def check() -> list:
 
 def update_manifest():
     entries = cache_entries()
+    prev = set(load_manifest().get("entries", {}))
     with open(MANIFEST, "w") as f:
         json.dump({
             "entries": entries,
@@ -115,8 +116,17 @@ def update_manifest():
             "count": len(entries),
         }, f, indent=1, sort_keys=True)
         f.write("\n")
+    added, gone = sorted(set(entries) - prev), sorted(prev - set(entries))
     print(f"manifest: {len(entries)} entries, "
-          f"{sum(entries.values()) / 1e6:.1f} MB")
+          f"{sum(entries.values()) / 1e6:.1f} MB "
+          f"(+{len(added)} new, -{len(gone)} removed vs previous)")
+    # Every on-disk entry gets ledgered — which is correct ONLY after the
+    # documented rebuild (rm -rf .jax_cache; bench; entry).  Running
+    # --update over a cache that still holds entries from ad-hoc scripts
+    # would legitimize exactly the orphans the policy blocks, so make the
+    # additions visible for the operator to sanity-check before `git add`.
+    for name in added:
+        print(f"  + {name[:56]}  ({entries[name] / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":
