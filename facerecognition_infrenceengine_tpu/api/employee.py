@@ -155,7 +155,13 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
                 buffalo = (existing.get("employeeEmbeddings", {})
                            .get("buffalo_l", {}).get("status"))
                 emp_status = existing.get("status")
-                if buffalo in ("done", "active") or emp_status == "active":
+                # an ARCHIVED (soft-deleted) employee may re-register even
+                # though its old embeddings read 'done' — otherwise archival
+                # would permanently block the id with a misleading
+                # "is active" 409 and the only recovery would be hard delete
+                if emp_status == "active" or (
+                        buffalo in ("done", "active")
+                        and emp_status != "archived"):
                     return error_response(
                         "Employee with this ID already exists in the company "
                         "and is active.", 409)
@@ -268,6 +274,11 @@ def make_employee_bp(ds: Datastore, cfg: Config) -> Blueprint:
                     "employeeId": employee["_id"],
                     "model": model,
                     "status": "queued",
+                    # visitor jobs carry the HOST employee's _id plus a
+                    # visitorId; without this exclusion a pending visitor
+                    # job would satisfy the dedupe and the employee's own
+                    # enrollment job would never be queued
+                    "visitorId": {"$exists": False},
                 })
                 if not already_queued:
                     ds.embedding_jobs.insert_one({

@@ -330,6 +330,14 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         data = dict(data)
         data.pop("_id", None)
         data.pop("path", None)  # materialized path is derived, never client-set
+        if "companyId" in data:
+            # coerce to ObjectId (like definition updates do): the store
+            # deliberately never matches str against ObjectId, so a string
+            # companyId would silently detach the entity from every
+            # tenant-scoped query
+            if not ObjectId.is_valid(str(data["companyId"])):
+                return jsonify({"error": "Invalid companyId format"}), 400
+            data["companyId"] = ObjectId(str(data["companyId"]))
         if "parentId" in data:
             # Re-parenting changes the materialized path of the whole
             # subtree — same rules and rewriting as /entities/<id>/move
@@ -487,6 +495,11 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
             if not employee:
                 return jsonify({"error": "Employee not found"}), 404
             data["metadata"]["employeeRef"] = str(employee["_id"])
+            # the employee-listing/search endpoints key on
+            # metadata.employeeId; the /entities/<id>/employees creation
+            # path sets it, so this path must too or those endpoints
+            # KeyError-500 on assets created here
+            data["metadata"]["employeeId"] = data.get("employeeId")
         asset_doc = build_asset_doc(data, data.get("type", "generic"))
         result = assets.insert_one(asset_doc)
         return jsonify({"id": str(result.inserted_id),
@@ -598,9 +611,14 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         if not employee:
             return jsonify({"error": "Employee not found or does not belong to "
                                      "this company"}), 404
-        employees.update_one({"_id": employee["_id"]}, {"$set": {
-            "employeeDesignation": designation,
-            "updatedAt": get_current_utc()}})
+        emp_set = {"lastUpdated": get_current_utc()}  # employee schema's
+        # timestamp field (fill_employee_fields/update/register), not the
+        # entity schema's updatedAt
+        if designation is not None:
+            # a definition whose entityType carries no designation must not
+            # erase the employee's existing one with None
+            emp_set["employeeDesignation"] = designation
+        employees.update_one({"_id": employee["_id"]}, {"$set": emp_set})
         result = entities.update_one({"_id": ObjectId(entity_id)}, {"$set": {
             "manager": {"employeeId": data["employeeId"],
                         "assignedAt": get_current_utc(), "status": "filled"},
@@ -754,14 +772,20 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
         entity_ids = [e["_id"] for e in tree]
         employee_assets = list(assets.find({
             "entityId": {"$in": entity_ids}, "type": "employee"}))
-        employee_ids = [a["metadata"]["employeeId"] for a in employee_assets]
-        active = list(employees.find({"employeeId": {"$in": employee_ids},
-                                      "status": "active"}))
+        # .get: assets written before metadata.employeeId was always set
+        # (or by external writers) must not 500 the whole listing
+        employee_ids = [a.get("metadata", {}).get("employeeId")
+                        for a in employee_assets]
+        active = list(employees.find({
+            "employeeId": {"$in": [e for e in employee_ids if e]},
+            "status": "active"}))
         enhanced = []
         for employee in active:
-            asset = next((a for a in employee_assets
-                          if a["metadata"]["employeeId"] == employee["employeeId"]),
-                         None)
+            asset = next(
+                (a for a in employee_assets
+                 if a.get("metadata", {}).get("employeeId")
+                 == employee["employeeId"]),
+                None)
             if asset:
                 emp_entity = next((e for e in tree if e["_id"] == asset["entityId"]),
                                   None)
@@ -848,7 +872,8 @@ def make_entity_bp(ds: Datastore, cfg: Config | None = None) -> Blueprint:
             typed_ids = [e["_id"] for e in typed]
             typed_assets = list(assets.find({"entityId": {"$in": typed_ids},
                                              "type": "employee"}))
-            allowed = {a["metadata"]["employeeId"] for a in typed_assets}
+            allowed = {a.get("metadata", {}).get("employeeId")
+                       for a in typed_assets}
             found = [e for e in found if e["employeeId"] in allowed]
         enhanced = []
         for employee in found:

@@ -25,7 +25,7 @@ from ..store.objectid import ObjectId
 from ..web import Blueprint, Response, jsonify, request
 from .constants import POSES
 from .docmodels import build_visit_doc, build_visitor_doc
-from .embeddings import store_embedding
+from .embeddings import deserialize_embedding, store_embedding
 from .utils import (
     error_response,
     format_datetime,
@@ -154,6 +154,30 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
             if not validate_phone_format(data["phone"]):
                 return error_response("Invalid phone number format.", 400)
 
+            # Validate the attached embedding BEFORE any write (mirrors
+            # employee register): a rejected blob must not leave orphaned
+            # GridFS images, a visitor doc, and queued jobs behind a 400.
+            embedding_attached = request.form.get(
+                "embeddingAttached", "false").lower() == "true"
+            embedding_version = request.form.get("embeddingVersion")
+            emb_bytes = emb_filename = None
+            if embedding_attached:
+                if not embedding_version or "embedding" not in request.files:
+                    return error_response(
+                        "embeddingVersion and embedding file required when "
+                        "embeddingAttached is true")
+                if embedding_version not in cfg.api.allowed_models:
+                    return error_response("Embedding model not allowed.", 400)
+                emb_file = request.files.get("embedding")
+                emb_bytes = emb_file.read()
+                emb_filename = emb_file.filename
+                try:
+                    deserialize_embedding(emb_bytes)
+                except Exception:
+                    return error_response(
+                        "Attached embedding is not a valid embedding vector.",
+                        400)
+
             image_dict = {}
             for position in POSES:  # left/right/center all required (:78)
                 if position not in request.files:
@@ -183,6 +207,11 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
 
             embeddings_dict = {}
             for model in cfg.api.allowed_models:
+                if embedding_attached and model == embedding_version:
+                    # the worker would recompute this model from the pose
+                    # images and overwrite the client's attached 'done'
+                    # entry — same skip the employee route performs
+                    continue
                 ds.embedding_jobs.insert_one({
                     "employeeId": ObjectId(str(host["_id"])),
                     "companyId": ObjectId(data["companyId"]),
@@ -195,19 +224,9 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
                 embeddings_dict[model] = {"status": "queued",
                                           "queuedAt": get_current_utc()}
 
-            embedding_attached = request.form.get(
-                "embeddingAttached", "false").lower() == "true"
-            embedding_version = request.form.get("embeddingVersion")
             if embedding_attached:
-                if not embedding_version or "embedding" not in request.files:
-                    return error_response(
-                        "embeddingVersion and embedding file required when "
-                        "embeddingAttached is true")
-                if embedding_version not in cfg.api.allowed_models:
-                    return error_response("Embedding model not allowed.", 400)
-                emb_file = request.files.get("embedding")
                 emb_entry = store_embedding(
-                    ds, emb_file.read(), emb_file.filename,
+                    ds, emb_bytes, emb_filename,
                     {"companyId": data["companyId"],
                      "visitorId": str(visitor_id),
                      "model": embedding_version, "type": "embedding",
@@ -240,10 +259,13 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
                 data, ["companyId", "hostEmployeeId", "expectedArrival"])
             if not ok:
                 return error_response(msg, 400)
-            arrival = parse_datetime(data["expectedArrival"])
-            if data.get("expectedDeparture"):
-                new_end = parse_datetime(data["expectedDeparture"])
-            else:
+            try:
+                arrival = parse_datetime(data["expectedArrival"])
+                new_end = (parse_datetime(data["expectedDeparture"])
+                           if data.get("expectedDeparture") else None)
+            except (ValueError, TypeError):
+                return error_response("Invalid datetime format.", 400)
+            if new_end is None:
                 # a zero-length window would make verify-qr reject the pass
                 # as expired the instant it's scanned; default to a 1-hour
                 # visit (documented deliberate choice)
@@ -252,13 +274,30 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
                 return error_response(
                     "expectedDeparture must be after expectedArrival", 400)
 
-            visitor_ids = data.get("visitorIds", [visitor_id])
+            # `or` (not a default arg): an explicit empty visitorIds list
+            # must fall back to the URL visitor, not IndexError below
+            visitor_ids = data.get("visitorIds") or [visitor_id]
             try:
                 visitor_obj_ids = [ObjectId(str(v)) for v in visitor_ids]
             except Exception:
                 return error_response("Invalid visitor ID in visitorIds", 400)
+            if not ObjectId.is_valid(str(data["companyId"])):
+                return error_response("Invalid companyId format.", 400)
             company_obj_id = ObjectId(data["companyId"])
-            host_obj_id = ObjectId(data["hostEmployeeId"])
+            # accept a business employeeId for the host exactly like
+            # /register does — the same client value must not 500 here
+            host = None
+            if ObjectId.is_valid(str(data["hostEmployeeId"])):
+                host = ds.employee_info.find_one({
+                    "_id": ObjectId(str(data["hostEmployeeId"])),
+                    "companyId": company_obj_id})
+            if host is None:
+                host = ds.employee_info.find_one({
+                    "employeeId": data["hostEmployeeId"],
+                    "companyId": company_obj_id})
+            if host is None:
+                return error_response("Host employee not found.", 400)
+            host_obj_id = host["_id"]
 
             # every visitor in the group must exist, belong to the company,
             # and be free in the window — not just the URL visitor
@@ -472,11 +511,20 @@ def make_visitor_bp(ds: Datastore, cfg: Config) -> Blueprint:
             vid = visit["visitorId"]
             if isinstance(vid, list):
                 vid = vid[0]
-            new_start = parse_datetime(update_fields.get(
-                "expectedArrival", visit["expectedArrival"]))
-            new_end = parse_datetime(update_fields.get(
-                "expectedDeparture",
-                visit.get("expectedDeparture", visit["expectedArrival"])))
+            try:
+                new_start = parse_datetime(update_fields.get(
+                    "expectedArrival", visit["expectedArrival"]))
+                new_end = parse_datetime(update_fields.get(
+                    "expectedDeparture",
+                    visit.get("expectedDeparture", visit["expectedArrival"])))
+            except (ValueError, TypeError):
+                # a malformed date string is the client's error, not a 500
+                return error_response("Invalid datetime format.", 400)
+            if new_end <= new_start:
+                # an arrival-only update may not invert the stored window:
+                # verify-qr would then reject the pass at every instant
+                return error_response(
+                    "expectedDeparture must be after expectedArrival", 400)
             if has_overlapping_visit(vid, new_start, new_end,
                                      exclude_visit_id=visit["_id"]):
                 return error_response("Visitor already has an overlapping visit.", 409)

@@ -47,7 +47,12 @@ def _make_backend(cfg: Config):
         from . import remote
 
         hostport = uri[len("fre://"):].rstrip("/")
-        host, _, port = hostport.rpartition(":")
+        if ":" in hostport:
+            host, _, port = hostport.rpartition(":")
+        else:
+            # bare hostname (fre://localhost): rpartition would shove the
+            # hostname into the port slot and int() would crash
+            host, port = hostport, ""
         db = remote.RemoteDatabase(host or "127.0.0.1", int(port or 27027),
                                    name=cfg.db.database_name)
         return (db, lambda name: gridfs.GridFS(db, collection=name),

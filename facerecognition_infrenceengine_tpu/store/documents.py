@@ -272,11 +272,13 @@ def _match_value(value, cond, exists: bool) -> bool:
                 if op == "$lte" and not c <= 0:
                     return False
             elif op == "$in":
-                vals = value if isinstance(value, list) else [value]
+                # array fields match on the whole array OR any element
+                # (MongoDB's array-equality branch of $in), same as $type
+                vals = [value] + value if isinstance(value, list) else [value]
                 if not any(_values_equal(v, a) for v in vals for a in arg):
                     return False
             elif op == "$nin":
-                vals = value if isinstance(value, list) else [value]
+                vals = [value] + value if isinstance(value, list) else [value]
                 if any(_values_equal(v, a) for v in vals for a in arg):
                     return False
             elif op == "$exists":
@@ -301,7 +303,7 @@ def _match_value(value, cond, exists: bool) -> bool:
                            else _match_value(v, arg, True) for v in value):
                     return False
             elif op == "$all":
-                vals = value if isinstance(value, list) else [value]
+                vals = [value] + value if isinstance(value, list) else [value]
                 if not all(any(_values_equal(v, a) for v in vals) for a in arg):
                     return False
             elif op == "$type":
@@ -392,7 +394,13 @@ def _apply_update(doc: dict, update: dict, *, on_insert: bool = False) -> bool:
         _id = doc.get("_id")
         doc.clear()
         doc.update(copy.deepcopy(update))
-        doc.setdefault("_id", _id)
+        if _id is not None:
+            # preserve the original _id; when there was none (replacement
+            # UPSERT whose filter carried no _id) leave the key absent so
+            # the upsert path's setdefault(ObjectId()) can assign a real
+            # one — setdefault-ing None here would store _id=None and
+            # collide every such upsert on the same None key
+            doc.setdefault("_id", _id)
         return True
     for op, fields in update.items():
         if op == "$setOnInsert":
@@ -772,9 +780,11 @@ class Collection:
             probe = {}
             for f in fields:
                 exists, val = _get_path(doc, f)
+                # non-sparse unique index semantics: a missing field is
+                # indexed as null, so two docs both omitting every indexed
+                # field ARE duplicates (MongoDB raises E11000 on the
+                # second) — do not skip the all-None probe
                 probe[f] = val if exists else None
-            if all(v is None for v in probe.values()):
-                continue
             # narrow through the lead-field hash map when usable (every
             # created index registers one): insert cost drops from O(docs)
             # to O(bucket); comparisons below keep exact semantics
@@ -871,7 +881,11 @@ class Collection:
                     work = copy.deepcopy(doc)
                     if _apply_update(work, update):
                         self._check_unique(work, exclude_key=key)
-                        if self._id_key(work.get("_id")) != key:
+                        # direct comparison, not _id_key: the key fn
+                        # collapses ObjectId and its hex string, which
+                        # would let a $set silently retype _id to str and
+                        # orphan the doc from ObjectId-equality lookups
+                        if work.get("_id") != doc.get("_id"):
                             raise ValueError("_id is immutable")
                         self._index_remove(key, doc)
                         self._docs[key] = work
@@ -890,9 +904,16 @@ class Collection:
                         _set_path(base, k, copy.deepcopy(v))
                 _apply_update(base, update, on_insert=True)
                 base.setdefault("_id", ObjectId())
+                idk = self._id_key(base["_id"])
+                if idk in self._docs:
+                    # filter pinned an EXISTING _id but its other
+                    # conditions didn't match: MongoDB raises E11000
+                    # rather than replacing the existing document
+                    raise DuplicateKeyError(
+                        f"E11000 duplicate key error: _id {base['_id']!r}")
                 self._check_unique(base)
-                self._docs[self._id_key(base["_id"])] = base
-                self._index_add(self._id_key(base["_id"]), base)
+                self._docs[idk] = base
+                self._index_add(idk, base)
                 self._db._mark_dirty()
                 return UpdateResult(0, 0, upserted_id=base["_id"])
             return UpdateResult(matched, modified)
@@ -1108,7 +1129,7 @@ class Collection:
             elif op == "$limit":
                 docs = docs[:arg]
             elif op == "$project":
-                docs = [_project(d, arg) for d in docs]
+                docs = [self._project_stage(d, arg) for d in docs]
             elif op == "$unwind":
                 path = arg if isinstance(arg, str) else arg["path"]
                 path = path.lstrip("$")
@@ -1298,6 +1319,41 @@ class Collection:
                                                                  key=str))
         return (type(gid).__name__, str(gid))
 
+    def _project_stage(self, doc, spec):
+        """Aggregation $project: plain include/exclude flags delegate to
+        the find()-path _project; computed values — '$field' references
+        and operator-expression dicts — are evaluated per MongoDB (any
+        computed field forces inclusive mode).  Previously expression
+        values were silently treated as truthy include flags, returning
+        plausible-but-wrong rows with the renamed/computed field dropped."""
+        def is_expr(v):
+            return (isinstance(v, str) and v.startswith("$")) or (
+                isinstance(v, dict) and any(k.startswith("$") for k in v))
+
+        fields = {k: v for k, v in spec.items() if k != "_id"}
+        computed = {k for k, v in fields.items() if is_expr(v)}
+        if not computed:
+            return _project(doc, spec)
+        out: dict = {}
+        for path, v in fields.items():
+            if path in computed:
+                if isinstance(v, str):
+                    # bare field reference: drop the output field when the
+                    # referenced path is missing (MongoDB semantics)
+                    exists, val = _get_path(doc, v[1:])
+                    if exists:
+                        _set_path(out, path, copy.deepcopy(val))
+                else:
+                    _set_path(out, path, copy.deepcopy(
+                        self._resolve_expr(doc, v)))
+            elif v:
+                exists, val = _get_path(doc, path)
+                if exists:
+                    _set_path(out, path, copy.deepcopy(val))
+        if spec.get("_id", 1) and "_id" in doc:
+            out["_id"] = doc["_id"]
+        return out
+
     def _group(self, docs, spec) -> list:
         groups: dict = {}
         order: list = []
@@ -1318,7 +1374,10 @@ class Collection:
                 (aop, aarg), = agg.items()
                 vals = [self._resolve_expr(d, aarg) for d in g["__docs"]]
                 if aop == "$sum":
-                    if isinstance(aarg, (int, float)) and not isinstance(aarg, str):
+                    # bool excluded: {"$sum": True} is a NON-numeric
+                    # literal to MongoDB (returns 0), not a 1-per-doc count
+                    if (isinstance(aarg, (int, float))
+                            and not isinstance(aarg, bool)):
                         row[field] = aarg * len(vals)
                     else:
                         row[field] = sum(
@@ -1326,7 +1385,8 @@ class Collection:
                             if isinstance(v, (int, float)) and not isinstance(v, bool)
                         )
                 elif aop == "$avg":
-                    nums = [v for v in vals if isinstance(v, (int, float))]
+                    nums = [v for v in vals if isinstance(v, (int, float))
+                            and not isinstance(v, bool)]
                     row[field] = sum(nums) / len(nums) if nums else None
                 elif aop == "$min":
                     row[field] = min((v for v in vals if v is not None),
@@ -1369,6 +1429,9 @@ class Database:
     def __init__(self, name: str = "bharatlytics", persist_dir: str = ""):
         self.name = name
         self._lock = threading.RLock()
+        self._flush_lock = threading.Lock()
+        self._flush_seq = 0
+        self._flushed_seq = 0
         self._collections: dict[str, Collection] = {}
         self._persist_dir = persist_dir
         self._dirty = False
@@ -1410,10 +1473,36 @@ class Database:
                      for cname, col in self._collections.items()}
             blob = pickle.dumps(state)  # serialize under the lock: consistent
             self._dirty = False
-        tmp = self._snapshot_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, self._snapshot_path)
+            self._flush_seq += 1
+            seq = self._flush_seq
+        # _flush_lock serializes writers (the periodic flusher vs
+        # close()/atexit): two threads sharing one fixed tmp path would
+        # interleave writes into the same inode and os.replace could then
+        # publish a corrupt snapshot that bricks the next startup.  The
+        # unique suffix additionally protects against multi-PROCESS writers
+        # on a shared file:// dir (os.replace stays atomic either way).
+        # The sequence check closes the remaining ordering race: two
+        # flushes can serialize in one order but reach the file lock in the
+        # other, and publishing the OLDER snapshot last would silently roll
+        # back the writes the newer one carried (each snapshot is a
+        # superset of every earlier one — state only accretes under
+        # self._lock — so skipping a stale write loses nothing).
+        with self._flush_lock:
+            if seq <= self._flushed_seq:
+                return  # a newer snapshot already reached the disk
+            tmp = (f"{self._snapshot_path}.{os.getpid()}."
+                   f"{threading.get_ident()}.tmp")
+            try:
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, self._snapshot_path)
+                self._flushed_seq = seq
+            finally:
+                if os.path.exists(tmp):
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
 
     def _flush_loop(self):
         import time

@@ -131,7 +131,10 @@ class StoreServer:
     def _accept_loop(self):
         while not self._stopping.is_set():
             try:
-                conn, _ = self._listener.accept()
+                listener = self._listener
+                if listener is None:  # stop() ran between the event check
+                    return            # and the attribute read
+                conn, _ = listener.accept()
             except OSError:
                 return  # listener closed
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)

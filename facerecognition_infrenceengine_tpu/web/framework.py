@@ -128,6 +128,11 @@ class Request:
             length = int(environ.get("CONTENT_LENGTH") or 0)
         except ValueError:
             length = 0
+        if length < 0:
+            # a negative Content-Length would pass the > MAX check and
+            # turn body.read(-1) into an unbounded read-until-EOF,
+            # defeating the OOM guard
+            length = 0
         if length > MAX_BODY_BYTES:
             raise HTTPError(413, "request body too large")
         body = environ.get("wsgi.input")

@@ -216,3 +216,56 @@ def test_rate_limit(client):
 
 def test_health(client):
     assert client.get("/bharatlytics/v1/health").get_json() == {"status": "ok"}
+
+
+# ------------------------------------------ round-5 deep-review pins
+def test_archived_employee_can_reregister(app, client):
+    """Soft delete (archive) must not permanently block the employeeId:
+    re-registration after archival is the reactivation path, even when the
+    old enrollment finished ('done')."""
+    cid = seed_company(client)
+    register_employee(client, cid, emp_id="EARCH")
+    ds = app.datastore
+    # simulate a finished enrollment before the archive
+    ds.employee_info.update_one(
+        {"employeeId": "EARCH"},
+        {"$set": {"employeeEmbeddings.buffalo_l.status": "done"}})
+    r = client.delete("/bharatlytics/v1/employees/delete",
+                      json_body={"employeeId": "EARCH", "companyId": cid})
+    assert r.status_code == 200
+    r = register_employee(client, cid, emp_id="EARCH")
+    assert r.status_code == 200, r.text
+    emp = ds.employee_info.find_one({"employeeId": "EARCH"})
+    assert emp["status"] == "active"
+    # a genuinely active employee still 409s
+    r = client.post("/bharatlytics/v1/employees/register",
+                    data={"employeeId": "EARCH", "employeeName": "Asha Rao",
+                          "companyId": cid},
+                    files={p: (f"{p}.jpg", JPEG, "image/jpeg")
+                           for p in ("center", "left", "right")})
+    assert r.status_code == 409
+
+
+def test_employee_job_dedupe_ignores_visitor_jobs(app, client):
+    """A pending VISITOR job carrying the host's _id must not satisfy the
+    employee's own job-dedupe — re-registration must still queue the
+    employee's enrollment jobs."""
+    cid = seed_company(client)
+    register_employee(client, cid, emp_id="EHOST")
+    ds = app.datastore
+    host = ds.employee_info.find_one({"employeeId": "EHOST"})
+    # archive + drain the employee's own jobs, then plant a visitor job
+    ds.embedding_jobs.delete_many({})
+    ds.employee_info.update_one({"_id": host["_id"]},
+                                {"$set": {"status": "archived"}})
+    from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+    ds.embedding_jobs.insert_one({
+        "employeeId": host["_id"], "companyId": ObjectId(cid),
+        "visitorId": ObjectId(), "model": "buffalo_l",
+        "status": "queued", "params": {}})
+    r = register_employee(client, cid, emp_id="EHOST")
+    assert r.status_code == 200, r.text
+    own_jobs = list(ds.embedding_jobs.find(
+        {"employeeId": host["_id"], "visitorId": {"$exists": False}}))
+    assert {j["model"] for j in own_jobs} == {"buffalo_l",
+                                              "mobile_facenet_v1"}

@@ -266,3 +266,65 @@ def test_entity_regex_validation_enforced(client):
                                   "attributes": {"buildingCode": "BLD001",
                                                  "address": "x"}})
     assert good.status_code == 201, good.text
+
+
+# ------------------------------------------ round-5 deep-review pins
+def test_create_asset_employee_type_queryable(client, ctx, app):
+    """POST /assets with type=employee must produce a document the
+    employee-listing/search endpoints can read (metadata.employeeId set) —
+    the /entities/<id>/employees path already did."""
+    cid, def_id, root_id = ctx
+    plant, dept, line = build_tree(client, cid, def_id, root_id)
+    make_employee(client, cid, "A1")
+    r = client.post(f"{P}/assets", json_body={
+        "entityId": dept, "type": "employee", "employeeId": "A1",
+        "name": "A1 link"})
+    assert r.status_code == 201, r.text
+    # the listing endpoint that KeyError-500'd on assets from this path
+    r = client.get(f"{P}/entities/{plant}/employees?companyId={cid}")
+    assert r.status_code == 200, r.text
+    assert any(e["employeeId"] == "A1" for e in r.get_json()["employees"])
+
+
+def test_update_entity_coerces_company_id(client, ctx, app):
+    """PUT /entities/<id> with a string companyId must not detach the
+    entity from ObjectId-scoped queries."""
+    from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+
+    cid, def_id, root_id = ctx
+    r = client.put(f"{P}/entities/{root_id}",
+                   json_body={"companyId": cid, "name": "BU North v2"})
+    assert r.status_code == 200, r.text
+    doc = app.datastore.entities.find_one({"_id": ObjectId(root_id)})
+    assert isinstance(doc["companyId"], ObjectId)
+    # still visible to the tenant-scoped listing
+    r = client.get(f"{P}/entities?companyId={cid}")
+    listed = r.get_json()  # extended JSON: _id is {"$oid": hex}
+    ids = [e["_id"].get("$oid") if isinstance(e["_id"], dict) else e["_id"]
+           for e in listed]
+    assert root_id in ids
+    # garbage companyId is a 400, not silent corruption
+    r = client.put(f"{P}/entities/{root_id}",
+                   json_body={"companyId": "not-an-oid"})
+    assert r.status_code == 400
+
+
+def test_assign_manager_without_designation_keeps_existing(client, ctx, app):
+    """A definition entityType with no 'designation' must not erase the
+    employee's existing designation with None, and the employee's
+    timestamp field is lastUpdated (schema convention)."""
+    cid, def_id, root_id = ctx
+    make_employee(client, cid, "M9", employeeDesignation="Fitter")
+    # business_unit root: strip its designation from the definition
+    from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+
+    ddoc = app.datastore.entity_definitions.find_one({"_id": ObjectId(def_id)})
+    ddoc["structure"]["entityTypes"]["business_unit"].pop("designation", None)
+    app.datastore.entity_definitions.update_one(
+        {"_id": ddoc["_id"]}, {"$set": {"structure": ddoc["structure"]}})
+    r = client.put(f"{P}/entities/{root_id}/manager",
+                   json_body={"employeeId": "M9"})
+    assert r.status_code == 200, r.text
+    emp = app.datastore.employee_info.find_one({"employeeId": "M9"})
+    assert emp["employeeDesignation"] == "Fitter"
+    assert "updatedAt" not in emp

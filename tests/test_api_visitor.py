@@ -186,3 +186,100 @@ def test_visit_listing_and_analytics(client, company_and_host, app):
     assert rows[0]["count"] == 1
     r = client.get(f"/bharatlytics/v1/visitors/visits/analytics/area?companyId={cid}")
     assert {x["_id"] for x in r.get_json()} == {"Lobby", "Lab"}
+
+
+# ------------------------------------------ round-5 deep-review pins
+def test_register_rejects_bad_attached_embedding_without_orphans(
+        app, client, company_and_host):
+    """A rejected attached embedding must not leave a half-registration
+    behind (visitor doc + GridFS images + queued jobs before the 400)."""
+    cid, host = company_and_host
+    ds = app.datastore
+    visitors_before = ds.visitors.count_documents({})
+    jobs_before = ds.embedding_jobs.count_documents({})
+    data = {"companyId": cid, "visitorName": "Bad Blob",
+            "phone": "9876543211", "hostEmployeeId": host,
+            "embeddingAttached": "true", "embeddingVersion": "buffalo_l"}
+    files = {p: (f"{p}.jpg", JPEG, "image/jpeg")
+             for p in ("center", "left", "right")}
+    files["embedding"] = ("emb.pkl", b"not a pickle of a vector",
+                          "application/octet-stream")
+    r = client.post("/bharatlytics/v1/visitors/register",
+                    data=data, files=files)
+    assert r.status_code == 400
+    assert ds.visitors.count_documents({}) == visitors_before
+    assert ds.embedding_jobs.count_documents({}) == jobs_before
+
+
+def test_register_attached_model_skips_its_job(app, client, company_and_host):
+    """The worker must not recompute (and overwrite) the model the client
+    attached — no job is queued for that model, mirroring the employee
+    route."""
+    import numpy as np
+
+    from facerecognition_infrenceengine_tpu.core.serialization import (
+        serialize_embedding)
+
+    cid, host = company_and_host
+    data = {"companyId": cid, "visitorName": "Attached Guest",
+            "phone": "9876543212", "hostEmployeeId": host,
+            "embeddingAttached": "true", "embeddingVersion": "buffalo_l"}
+    files = {p: (f"{p}.jpg", JPEG, "image/jpeg")
+             for p in ("center", "left", "right")}
+    files["embedding"] = ("emb.pkl",
+                          serialize_embedding(np.ones(512, np.float32)),
+                          "application/octet-stream")
+    r = client.post("/bharatlytics/v1/visitors/register",
+                    data=data, files=files)
+    assert r.status_code == 201, r.text
+    body = r.get_json()
+    assert body["embeddingStatus"]["buffalo_l"] == "done"
+    vid = body["_id"]
+    from facerecognition_infrenceengine_tpu.store.objectid import ObjectId
+    jobs = list(app.datastore.embedding_jobs.find(
+        {"visitorId": ObjectId(vid)}))
+    assert [j["model"] for j in jobs] == ["mobile_facenet_v1"]
+
+
+def test_schedule_visit_client_errors_not_500(app, client, company_and_host):
+    """Empty visitorIds falls back to the URL visitor; a business
+    hostEmployeeId resolves like /register; malformed dates are 400s."""
+    cid, host = company_and_host
+    vid = register_visitor(client, cid, host).get_json()["_id"]
+    start, end = visit_window()
+    # business employeeId for the host + explicitly empty visitorIds
+    r = client.post(f"/bharatlytics/v1/visitors/{vid}/schedule-visit",
+                    json_body={"companyId": cid, "hostEmployeeId": host,
+                               "visitorIds": [],
+                               "expectedArrival": start,
+                               "expectedDeparture": end})
+    assert r.status_code == 201, r.text
+    # malformed datetime is the client's fault
+    r = client.post(f"/bharatlytics/v1/visitors/{vid}/schedule-visit",
+                    json_body={"companyId": cid, "hostEmployeeId": host,
+                               "expectedArrival": "not-a-date"})
+    assert r.status_code == 400
+
+
+def test_update_visit_rejects_bad_dates_and_window_inversion(
+        app, client, company_and_host):
+    cid, host = company_and_host
+    vid = register_visitor(client, cid, host).get_json()["_id"]
+    host_doc = app.datastore.employee_info.find_one({"employeeId": host})
+    start, end = visit_window()
+    visit = client.post(f"/bharatlytics/v1/visitors/{vid}/schedule-visit",
+                        json_body={"companyId": cid,
+                                   "hostEmployeeId": str(host_doc["_id"]),
+                                   "expectedArrival": start,
+                                   "expectedDeparture": end}
+                        ).get_json()["visit"]
+    visit_id = visit["_id"]
+    r = client.patch(f"/bharatlytics/v1/visitors/visits/{visit_id}",
+                     json_body={"expectedArrival": "garbage"})
+    assert r.status_code == 400
+    # arrival-only update that would invert the stored window
+    late = (datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+            + datetime.timedelta(days=2)).isoformat()
+    r = client.patch(f"/bharatlytics/v1/visitors/visits/{visit_id}",
+                     json_body={"expectedArrival": late})
+    assert r.status_code == 400

@@ -550,3 +550,164 @@ def test_type_numeric_codes_binData_and_invalid(db):
     # invalid numeric codes error like MongoDB, not silently no-match
     with pytest.raises(Exception):
         list(c.find({"v": {"$type": 99}}))
+
+
+# --------------------------------------------- round-5 deep-review pins
+def test_upsert_on_existing_pinned_id_raises_duplicate(db):
+    """update_one({'_id': X, 'version': N}, ..., upsert=True) where X
+    exists with a different version must raise E11000 (the optimistic-
+    concurrency pattern), NOT silently replace X with a skeleton doc."""
+    from facerecognition_infrenceengine_tpu.store.documents import (
+        DuplicateKeyError)
+
+    c = db["occ"]
+    c.insert_one({"_id": "X", "version": 2, "payload": "keep me"})
+    with pytest.raises(DuplicateKeyError):
+        c.update_one({"_id": "X", "version": 3},
+                     {"$set": {"payload": "clobber"}}, upsert=True)
+    doc = c.find_one({"_id": "X"})
+    assert doc["version"] == 2 and doc["payload"] == "keep me"
+
+
+def test_replacement_upsert_without_id_gets_real_objectid(db):
+    """replace_one(filter-without-_id, doc, upsert=True) must mint a real
+    ObjectId — not store the doc under _id=None, where a second such
+    upsert would silently overwrite the first."""
+    from facerecognition_infrenceengine_tpu.store.documents import ObjectId
+
+    c = db["repup"]
+    r1 = c.replace_one({"employeeId": "E1"},
+                       {"employeeId": "E1", "name": "A"}, upsert=True)
+    r2 = c.replace_one({"employeeId": "E2"},
+                       {"employeeId": "E2", "name": "B"}, upsert=True)
+    assert isinstance(r1.upserted_id, ObjectId)
+    assert isinstance(r2.upserted_id, ObjectId)
+    assert r1.upserted_id != r2.upserted_id
+    assert c.count_documents({}) == 2
+    got = c.find_one_and_replace({"employeeId": "E3"},
+                                 {"employeeId": "E3"}, upsert=True,
+                                 return_document=True)
+    assert got is not None and got["employeeId"] == "E3"
+    assert isinstance(got["_id"], ObjectId)
+
+
+def test_set_cannot_retype_id_to_string(db):
+    """_id is immutable INCLUDING its type: $set-ing the hex string of an
+    ObjectId _id must raise, not silently retype (which would orphan the
+    doc from ObjectId-equality lookups)."""
+    from facerecognition_infrenceengine_tpu.store.documents import ObjectId
+
+    c = db["idty"]
+    oid = ObjectId()
+    c.insert_one({"_id": oid, "v": 1})
+    with pytest.raises(Exception):
+        c.update_one({"_id": oid}, {"$set": {"_id": str(oid)}})
+    assert c.find_one({"_id": oid})["v"] == 1
+
+
+def test_project_field_rename_and_expression(db):
+    """$project values that are '$field' refs or operator expressions are
+    computed (MongoDB), not treated as truthy include flags."""
+    c = db["proj"]
+    c.insert_many([
+        {"k": 1, "hostEmployeeId": "H9", "a": 2, "b": 3},
+        {"k": 2, "a": 5, "b": 7},  # no hostEmployeeId -> field dropped
+    ])
+    rows = {d["k"]: d for d in c.aggregate([
+        {"$project": {"k": 1, "host": "$hostEmployeeId",
+                      "s": {"$add": ["$a", "$b"]}, "_id": 0}}])}
+    assert rows[1] == {"k": 1, "host": "H9", "s": 5}
+    assert rows[2] == {"k": 2, "s": 12}  # missing ref drops the field
+    # pure-flag projections keep the fast find()-path behavior
+    only = list(c.aggregate([{"$match": {"k": 1}},
+                             {"$project": {"a": 1, "_id": 0}}]))
+    assert only == [{"a": 2}]
+
+
+def test_group_sum_and_avg_ignore_booleans(db):
+    """{'$sum': True} is a non-numeric literal (MongoDB returns 0) and
+    $avg skips boolean values rather than counting True as 1."""
+    c = db["boolagg"]
+    c.insert_many([{"v": True}, {"v": True}, {"v": 2}])
+    row, = c.aggregate([{"$group": {"_id": None, "n": {"$sum": True},
+                                    "a": {"$avg": "$v"},
+                                    "s": {"$sum": "$v"}}}])
+    assert row["n"] == 0
+    assert row["a"] == 2.0  # only the numeric 2 participates
+    assert row["s"] == 2
+
+
+def test_in_nin_all_match_whole_array_values(db):
+    """$in/$nin/$all compare the whole array value too (MongoDB's
+    array-equality branch), not only per element."""
+    c = db["arrin"]
+    c.insert_one({"k": 1, "tags": ["a", "b"]})
+    assert c.find_one({"tags": {"$in": [["a", "b"]]}}) is not None
+    assert c.find_one({"tags": {"$nin": [["a", "b"]]}}) is None
+    assert c.find_one({"tags": {"$all": [["a", "b"]]}}) is not None
+    assert c.find_one({"tags": {"$in": [["a", "z"]]}}) is None
+
+
+def test_unique_index_enforces_duplicate_nulls(db):
+    """Non-sparse unique indexes treat missing fields as null: the second
+    doc omitting every indexed field must raise E11000 like MongoDB, not
+    silently accumulate."""
+    from facerecognition_infrenceengine_tpu.store.documents import (
+        DuplicateKeyError)
+
+    c = db["uniqnull"]
+    c.create_index([("person_id", 1), ("campus_id", 1)], unique=True)
+    c.insert_one({"note": "first, no keys"})
+    with pytest.raises(DuplicateKeyError):
+        c.insert_one({"note": "second, no keys"})
+    # distinct non-null values still fine
+    c.insert_one({"person_id": "p1", "campus_id": "c1"})
+    c.insert_one({"person_id": "p2", "campus_id": "c1"})
+
+
+def test_concurrent_flush_does_not_corrupt_snapshot(tmp_path):
+    """flush() from multiple threads (periodic flusher vs close/atexit)
+    must never interleave writes into one tmp file; the snapshot stays
+    loadable."""
+    import threading as _t
+
+    from facerecognition_infrenceengine_tpu.store.documents import Database
+
+    d = Database("flushrace", persist_dir=str(tmp_path))
+    c = d["c"]
+
+    def hammer(i):
+        for j in range(20):
+            c.insert_one({"i": i, "j": j})
+            d.flush()
+
+    threads = [_t.Thread(target=hammer, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    d.close()
+    d2 = Database("flushrace", persist_dir=str(tmp_path))
+    assert d2["c"].count_documents({}) == 120
+    d2.close()
+
+
+def test_fre_uri_without_port_defaults(monkeypatch):
+    """MONGODB_URI=fre://localhost must default to port 27027, not crash
+    int('localhost')."""
+    from facerecognition_infrenceengine_tpu.store import client as cl
+
+    captured = {}
+
+    class _Fake:
+        def __init__(self, host, port, name=""):
+            captured["hostport"] = (host, port)
+
+    from facerecognition_infrenceengine_tpu.store import remote
+    monkeypatch.setattr(remote, "RemoteDatabase", _Fake)
+    from facerecognition_infrenceengine_tpu.core.config import Config
+
+    cfg = Config()
+    cfg.db.mongodb_uri = "fre://localhost"
+    cl._make_backend(cfg)
+    assert captured["hostport"] == ("localhost", 27027)

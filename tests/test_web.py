@@ -223,3 +223,19 @@ def test_oversize_body_rejected_413(monkeypatch):
     big = c.post("/echo", data=b"x" * 2048)
     assert big.status_code == 413
     assert "too large" in big.get_json()["error"]
+
+
+def test_negative_content_length_reads_nothing():
+    """'Content-Length: -1' must not become body.read(-1) (unbounded
+    read-until-EOF — it would defeat the MAX_BODY_BYTES OOM guard)."""
+    import io
+
+    from facerecognition_infrenceengine_tpu.web import framework
+
+    environ = {
+        "REQUEST_METHOD": "POST", "PATH_INFO": "/", "QUERY_STRING": "",
+        "CONTENT_LENGTH": "-1", "CONTENT_TYPE": "text/plain",
+        "wsgi.input": io.BytesIO(b"x" * (1 << 20)),
+    }
+    req = framework.Request(environ)
+    assert req.get_data() == b""
