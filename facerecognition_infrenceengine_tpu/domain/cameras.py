@@ -56,6 +56,7 @@ class CameraManager:
         self._results_thread: threading.Thread | None = None
         self.stats: Dict[str, int] = {"frames_captured": 0, "results": 0,
                                       "results_dropped": 0}
+        self._generation = 0  # bumped by stop_cameras(); see _capture_loop
 
     def _ensure_runtime(self):
         if self.face_app is None:
@@ -75,6 +76,13 @@ class CameraManager:
     def _capture_loop(self, source, company_id: str):
         import cv2
 
+        # generation token: a thread that outlives its stop_cameras() call
+        # (cap.read() blocked past the join timeout on a stalled RTSP
+        # source) must exit on wake instead of dereferencing the nulled
+        # batcher — or, after a restart, running as a DUPLICATE capture
+        # loop for the same source
+        generation = self._generation
+        batcher = self.batcher
         cap = cv2.VideoCapture(source)
         if not cap.isOpened():
             logger.error("Failed to open camera %s", source)
@@ -84,10 +92,12 @@ class CameraManager:
         cap.set(cv2.CAP_PROP_FPS, 30)
         cap.set(cv2.CAP_PROP_BUFFERSIZE, 1)
         logger.info("Camera %s initialized", source)
-        while self.running:
+        while self.running and generation == self._generation:
             ret, frame = cap.read()
             if not ret:
                 continue
+            if generation != self._generation or batcher is None:
+                break  # stopped while blocked in cap.read()
             self.stats["frames_captured"] += 1
             # Free-running: submit and immediately read the next frame. The
             # batcher's per-source slot drops the oldest undispatched frame
@@ -96,11 +106,11 @@ class CameraManager:
             # app exposes a wire-format encoder (yuv420 transport), it runs
             # here on the capture thread via the prepare hook — parallel
             # across cameras, admitted frames only.
-            app = self.batcher.face_app
+            app = batcher.face_app  # local ref: stop() nulls self.batcher
             prep = (app.encode_frame
                     if getattr(getattr(app, "cfg", None), "stream_transport",
                                "rgb") != "rgb" else None)
-            future = self.batcher.submit(source, frame, prepare=prep)
+            future = batcher.submit(source, frame, prepare=prep)
             future.add_done_callback(
                 functools.partial(self._enqueue_result, source, company_id,
                                   frame))
@@ -136,8 +146,12 @@ class CameraManager:
                     if not self._results:
                         break
                     source, company_id, frame, faces = self._results.popleft()
-                _, results = self.processor.match_faces(frame, faces,
-                                                        company_id, draw=True)
+                # rasterizing the HUD costs real CPU per face — skip it
+                # when nobody will see the frame (headless serving via
+                # /api/camera/start runs with display=False, on_result=None)
+                want_frame = self.display or self.on_result is not None
+                _, results = self.processor.match_faces(
+                    frame, faces, company_id, draw=want_frame)
                 self.stats["results"] += 1
                 if self.on_result:
                     self.on_result(source, frame, results)
@@ -166,6 +180,7 @@ class CameraManager:
 
     def stop_cameras(self):
         self.running = False
+        self._generation += 1  # invalidates zombie capture loops
         for t in self.threads:
             t.join(timeout=5)
         self.threads.clear()

@@ -291,6 +291,7 @@ class CampusPeopleManager:
         self.pending_events: List[dict] = []
         self.pending_cluster_updates: List[dict] = []
         self.last_batch_time = time.time()
+        self._stats_day = get_current_utc().date()
 
         self._load_people_state()
         self._load_unknown_clusters()
@@ -336,9 +337,24 @@ class CampusPeopleManager:
 
     def _load_people_state(self):
         # reference peopleCount.py:278-315
+        today = get_current_utc().date()
         with self.state_lock:
+            chosen: Dict[str, dict] = {}
             for doc in self.ds.people_status.find({}):
-                person_id = doc["person_id"]
+                # one in-memory state per person (reference semantics), but
+                # the store may hold one doc per (person, campus): keep the
+                # most recently seen doc rather than iteration-order-last,
+                # so detections resume against the right campus
+                pid = doc["person_id"]
+                prev = chosen.get(pid)
+                if prev is None or ((doc.get("last_seen_time")
+                                     or doc.get("current_entry_time")
+                                     or datetime.min)
+                                    > (prev.get("last_seen_time")
+                                       or prev.get("current_entry_time")
+                                       or datetime.min)):
+                    chosen[pid] = doc
+            for person_id, doc in chosen.items():
                 campus_id = doc["campus_id"]
                 state = PersonState(person_id, doc["metadata"], campus_id, self.cfg)
                 state.status = PersonStatus(doc["status"])
@@ -348,6 +364,12 @@ class CampusPeopleManager:
                 state.total_exits_today = doc.get("total_exits_today", 0)
                 state.last_seen_camera = doc.get("last_seen_camera")
                 state.last_seen_time = doc.get("last_seen_time")
+                # a doc last touched before today carries YESTERDAY's
+                # counters — resuming them would inflate today's rollup
+                seen = state.last_seen_time or state.current_entry_time
+                if seen is not None and seen.date() < today:
+                    state.total_entries_today = 0
+                    state.total_exits_today = 0
                 self.people_states[person_id] = state
                 stats = self.campus_stats[campus_id]
                 if state.status == PersonStatus.INSIDE:
@@ -407,6 +429,7 @@ class CampusPeopleManager:
             return
         campus_id = camera_config["campus_id"]
         camera_type = camera_config["type"]
+        self._maybe_roll_day(timestamp)
         with self.state_lock:
             if person_id not in self.people_states:
                 self.people_states[person_id] = PersonState(
@@ -565,7 +588,15 @@ class CampusPeopleManager:
                 time.sleep(5)
 
     def flush(self):
-        """Flush pending writes (reference peopleCount.py:547-587)."""
+        """Flush pending writes (reference peopleCount.py:547-587).
+
+        Crash-safe: a transient backend failure (fre:// store bounce,
+        socket drop) must not silently drop a batch interval of state —
+        whatever phase hadn't succeeded is re-queued for the next cycle.
+        State/cluster writes are idempotent $set upserts; event inserts
+        become at-least-once (a partial insert_many that raises may
+        duplicate an event on retry, which beats losing confirmed
+        entries/exits outright)."""
         with self.update_queue_lock:
             updates = self.pending_updates[:]
             events = self.pending_events[:]
@@ -573,30 +604,44 @@ class CampusPeopleManager:
             self.pending_updates.clear()
             self.pending_events.clear()
             self.pending_cluster_updates.clear()
-        if updates:
-            # ds.UpdateOne is the backend's own request type — pymongo
-            # rejects the embedded store's class and vice versa
-            ops = [self.ds.UpdateOne(u["filter"], u["update"], upsert=u["upsert"])
-                   for u in updates]
-            self.ds.people_status.bulk_write(ops, ordered=False)
-        if events:
-            regular = [dict(e) for e in events if e.get("type") == "event"]
-            unknown = [dict(e) for e in events if e.get("type") == "unknown_detection"]
-            for e in regular:
-                e.pop("type", None)
-            for e in unknown:
-                e.pop("type", None)
-            if regular:
-                self.ds.campus_events.insert_many(regular)
-            if unknown:
-                self.ds.unknown_detections.insert_many(unknown)
-        if clusters:
-            # last write per cluster wins (docs are full-state $set upserts)
-            latest = {(c["filter"]["campus_id"], c["filter"]["unknown_id"]): c
-                      for c in clusters}
-            ops = [self.ds.UpdateOne(c["filter"], c["update"], upsert=True)
-                   for c in latest.values()]
-            self.ds.unknown_clusters.bulk_write(ops, ordered=False)
+        try:
+            if updates:
+                # ds.UpdateOne is the backend's own request type — pymongo
+                # rejects the embedded store's class and vice versa
+                ops = [self.ds.UpdateOne(u["filter"], u["update"],
+                                         upsert=u["upsert"])
+                       for u in updates]
+                self.ds.people_status.bulk_write(ops, ordered=False)
+                updates = []
+            if events:
+                regular = [dict(e) for e in events if e.get("type") == "event"]
+                unknown = [dict(e) for e in events
+                           if e.get("type") == "unknown_detection"]
+                for e in regular:
+                    e.pop("type", None)
+                for e in unknown:
+                    e.pop("type", None)
+                if regular:
+                    self.ds.campus_events.insert_many(regular)
+                if unknown:
+                    self.ds.unknown_detections.insert_many(unknown)
+                events = []
+            if clusters:
+                # last write per cluster wins (docs are full-state $set
+                # upserts)
+                latest = {(c["filter"]["campus_id"],
+                           c["filter"]["unknown_id"]): c for c in clusters}
+                ops = [self.ds.UpdateOne(c["filter"], c["update"], upsert=True)
+                       for c in latest.values()]
+                self.ds.unknown_clusters.bulk_write(ops, ordered=False)
+                clusters = []
+        except Exception:
+            with self.update_queue_lock:
+                # re-queue AT THE FRONT so ordering survives new arrivals
+                self.pending_updates[:0] = updates
+                self.pending_events[:0] = events
+                self.pending_cluster_updates[:0] = clusters
+            raise
 
     def _analytics_loop(self):
         while self.running:
@@ -607,9 +652,37 @@ class CampusPeopleManager:
                 logger.error("analytics loop error: %s", e)
                 time.sleep(self.cfg.analytics_interval_s)
 
+    def _maybe_roll_day(self, now: datetime):
+        """Zero the *_today counters at the local-midnight boundary.
+
+        The reference never resets them (peopleCount.py keeps cumulative
+        lifetime totals), which makes every daily analytics doc after day
+        one report inflated numbers — exactly the rollup this module
+        documents.  Caller must NOT hold state_lock (plain Lock, not
+        reentrant)."""
+        day = now.date()
+        # forward-only: a detection carrying yesterday's timestamp (clock
+        # skew, replayed frames) must not zero today's counters
+        if day <= self._stats_day:
+            return
+        with self.state_lock:
+            if day <= self._stats_day:
+                return
+            self._stats_day = day
+            for stats in self.campus_stats.values():
+                stats["total_entries_today"] = 0
+                stats["total_exits_today"] = 0
+                stats["unknown_detections_today"] = 0
+            for state in self.people_states.values():
+                state.total_entries_today = 0
+                state.total_exits_today = 0
+                state.detection_count_today = 0
+                self._queue_state_update(state)
+
     def update_analytics(self):
         """Per-campus daily rollup upsert (reference peopleCount.py:589-626)."""
         now = get_current_utc()
+        self._maybe_roll_day(now)
         today = datetime.combine(now.date(), datetime.min.time())
         for campus_id, stats in list(self.campus_stats.items()):
             data = {

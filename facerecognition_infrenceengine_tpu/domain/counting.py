@@ -53,7 +53,7 @@ class CountingProcessor:
         # score -1.0 and flood the unknown-person clusters otherwise —
         # here, not just in process_frame, so the micro-batcher path is
         # covered too
-        if self.gallery.get_stats()["total_embeddings"] == 0:
+        if self.gallery.is_empty():  # O(1), not a full get_stats() rollup
             return stats
         timestamp = get_current_utc()
         embs = np.stack([f.normed_embedding for f in faces])

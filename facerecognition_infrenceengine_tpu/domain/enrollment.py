@@ -96,8 +96,10 @@ class FaceEmbeddingWorker:
         self.executor = ThreadPoolExecutor(max_workers=self.cfg.max_workers)
         self.stats = {"processed": 0, "failed": 0, "duplicates": 0,
                       "started_at": get_current_utc()}
-        self.similarity_threshold = get_config().thresholds.same_person
-        self.duplicate_threshold = get_config().thresholds.duplicate_face
+        # from the INJECTED cfg (not the global): a caller constructing a
+        # worker with custom thresholds must get those thresholds
+        self.similarity_threshold = cfg.thresholds.same_person
+        self.duplicate_threshold = cfg.thresholds.duplicate_face
 
     @property
     def detector(self):
@@ -336,7 +338,14 @@ class FaceEmbeddingWorker:
         cutoff = now - timedelta(seconds=self.cfg.stuck_job_timeout_s)
         for job in self.ds.embedding_jobs.find({
                 "status": JobStatus.STARTED.value,
-                "startedAt": {"$lt": cutoff}}):
+                "startedAt": {"$lt": cutoff},
+                # liveness gate: _process_job heartbeats per image — a job
+                # whose claim is old but whose heartbeat is fresh is a slow
+                # job STILL RUNNING (big backlog behind the thread pool,
+                # slow GridFS), and requeueing it would double-process it
+                # on another worker
+                "$or": [{"heartbeat": {"$exists": False}},
+                        {"heartbeat": {"$lt": cutoff}}]}):
             retry_count = job.get("retryCount", 0) + 1
             if retry_count < self.cfg.max_retries:
                 self.ds.embedding_jobs.update_one({"_id": job["_id"]}, {"$set": {

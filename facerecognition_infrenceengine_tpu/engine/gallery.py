@@ -692,6 +692,14 @@ class GalleryManager:
         with self._lock:
             return dict(self.embeddings), dict(self.metadata)
 
+    def is_empty(self) -> bool:
+        """O(1) empty check for per-frame guards — get_stats() walks the
+        whole metadata dict under the lock, which is millions of dict
+        iterations per second when called per processed frame at gallery
+        scale (the counting path's empty-gallery guard)."""
+        with self._lock:
+            return not self.embeddings
+
     def get_stats(self) -> dict:
         with self._lock:
             employees = sum(1 for m in self.metadata.values()

@@ -83,7 +83,13 @@ def build_app(people_manager: CampusPeopleManager) -> App:
     @app.route("/api/campus/<campus_id>/events", methods=["GET"])
     def get_campus_events(campus_id):
         try:
-            limit = int(request.args.get("limit", 50))
+            try:
+                # clamp: an unbounded limit would dump the whole events
+                # collection in one response
+                limit = min(max(int(request.args.get("limit", 50)), 1), 1000)
+            except ValueError:
+                return jsonify({"success": False,
+                                "error": "limit must be an integer"}), 400
             query = {"campus_id": campus_id}
             if request.args.get("type"):
                 query["event_type"] = request.args["type"]
@@ -114,7 +120,11 @@ def build_app(people_manager: CampusPeopleManager) -> App:
     @app.route("/api/campus/<campus_id>/analytics", methods=["GET"])
     def get_campus_analytics(campus_id):
         try:
-            days = int(request.args.get("days", 7))
+            try:
+                days = min(max(int(request.args.get("days", 7)), 1), 3650)
+            except ValueError:
+                return jsonify({"success": False,
+                                "error": "days must be an integer"}), 400
             start = get_current_utc() - timedelta(days=days)
             analytics = list(ds.campus_analytics.find({
                 "campus_id": campus_id, "date": {"$gte": start}

@@ -158,6 +158,9 @@ class _StubGallery:
     def get_stats(self):
         return {"total_embeddings": len(self.ids)}
 
+    def is_empty(self):
+        return not self.ids
+
     def match(self, q, company_id=None, k=1):
         scores = self.matrix @ q.T  # [N, B]
         best = scores.argmax(axis=0)
@@ -327,3 +330,76 @@ def test_cluster_bank_tracks_running_means(manager):
     for uid, u in people.items():
         np.testing.assert_allclose(bank.matrix[bank.index[uid]],
                                    u.avg_embedding, rtol=1e-6)
+
+
+# ------------------------------------------ round-5 deep-review pins
+def test_daily_counters_roll_at_midnight(manager):
+    """*_today counters reset at the day boundary — the reference never
+    resets them, so every daily analytics doc after day one reported
+    cumulative lifetime totals."""
+    emb = np.ones(512, np.float32)
+    manager.process_detection("E1", META, "cam_in", ts(0), 0.9)
+    manager.process_detection("E1", META, "cam_in", ts(3), 0.9)  # confirm
+    stats = manager.campus_stats["campusA"]
+    assert stats["total_entries_today"] == 1
+    # forward-only roll: day boundaries are judged against wall-clock
+    # "today", so past-stamped timestamps never reset
+    manager._maybe_roll_day(ts(0) + datetime.timedelta(days=1))
+    assert manager.campus_stats["campusA"]["total_entries_today"] == 1
+    tomorrow = (datetime.datetime.now() + datetime.timedelta(days=1))
+    manager._maybe_roll_day(tomorrow)
+    assert stats["total_entries_today"] == 0
+    assert manager.people_states["E1"].total_entries_today == 0
+    # still inside — presence state is NOT daily
+    assert stats["current_inside"] == 1
+
+
+def test_flush_requeues_on_backend_failure(manager):
+    """A transient store failure must not drop the pending batch — the
+    next flush cycle retries it."""
+    manager.process_detection("E1", META, "cam_in", ts(0), 0.9)
+    manager.process_detection("E1", META, "cam_in", ts(3), 0.9)
+    assert manager.pending_events
+    real = manager.ds.people_status.bulk_write
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise ConnectionError("store bounced")
+
+    manager.ds.people_status.bulk_write = boom
+    with pytest.raises(ConnectionError):
+        manager.flush()
+    assert calls["n"] == 1
+    assert manager.pending_updates and manager.pending_events
+    manager.ds.people_status.bulk_write = real
+    manager.flush()  # retry succeeds, queues drain
+    assert not manager.pending_updates and not manager.pending_events
+    assert manager.ds.campus_events.count_documents({}) >= 1
+
+
+def test_state_reload_prefers_most_recent_campus_doc(store_cfg):
+    """One status doc may exist per (person, campus); reload must resume
+    the most recently seen one, not iteration-order-last, and must not
+    resume yesterday's *_today counters."""
+    ds = Datastore(store_cfg)
+    old = datetime.datetime(2026, 8, 15, 9, 0, 0)
+    new = datetime.datetime(2026, 8, 16, 9, 0, 0)
+    ds.people_status.insert_one({
+        "person_id": "P", "campus_id": "campusOLD", "status": "inside",
+        "metadata": META, "last_seen_time": old,
+        "total_entries_today": 5, "total_exits_today": 4})
+    ds.people_status.insert_one({
+        "person_id": "P", "campus_id": "campusNEW", "status": "inside",
+        "metadata": META, "last_seen_time": new,
+        "total_entries_today": 2, "total_exits_today": 1})
+    m = CampusPeopleManager(ds, start_background=False)
+    state = m.people_states["P"]
+    assert state.campus_id == "campusNEW"
+    # exactly one campus counted the person inside
+    inside = [cid for cid, s in m.campus_stats.items()
+              if s["current_inside"] > 0]
+    assert inside == ["campusNEW"]
+    # last_seen 2026-08-16 is before "today" (now) -> counters zeroed
+    assert state.total_entries_today == 0
+    assert m.campus_stats["campusNEW"]["total_entries_today"] == 0

@@ -591,3 +591,45 @@ def test_gallery_sharded_f32_with_score_cache(world, monkeypatch):
     s_s3, ids_s3, _ = sharded.match(probe, company_id=cid, k=3)
     s_l3, ids_l3, _ = local.match(probe, company_id=cid, k=3)
     assert ids_s3 == ids_l3
+
+
+# ------------------------------------------ round-5 deep-review pins
+def test_stuck_recovery_respects_fresh_heartbeat(world):
+    """A job whose claim is old but whose per-image heartbeat is FRESH is a
+    slow job still running — requeueing it would double-process it on
+    another worker."""
+    cfg, ds, client, cid, worker = world
+    from facerecognition_infrenceengine_tpu.store import ObjectId
+
+    now = (datetime.datetime.now(datetime.timezone.utc)
+           .replace(tzinfo=None))
+    stale = now - datetime.timedelta(hours=2)
+    ds.embedding_jobs.insert_one({
+        "employeeId": ObjectId(), "companyId": ObjectId(),
+        "model": "buffalo_l", "status": "started",
+        "startedAt": stale, "heartbeat": now})
+    worker._recover_stuck_jobs()
+    assert ds.embedding_jobs.find_one({})["status"] == "started"
+    # heartbeat gone stale too -> genuinely stuck, requeued
+    ds.embedding_jobs.update_one({}, {"$set": {"heartbeat": stale}})
+    worker._recover_stuck_jobs()
+    job = ds.embedding_jobs.find_one({})
+    assert job["status"] == JobStatus.QUEUED.value
+
+
+def test_worker_uses_injected_thresholds(store_cfg):
+    """Caller-supplied threshold configuration must reach the worker —
+    not the global get_config() defaults."""
+    import dataclasses
+
+    from facerecognition_infrenceengine_tpu.core.config import Config
+    from facerecognition_infrenceengine_tpu.store import Datastore
+
+    cfg = store_cfg
+    custom = dataclasses.replace(
+        cfg, thresholds=dataclasses.replace(
+            cfg.thresholds, same_person=0.61, duplicate_face=0.52))
+    w = FaceEmbeddingWorker(Datastore(cfg), custom,
+                            detector=FakeFaceAnalysis())
+    assert w.similarity_threshold == 0.61
+    assert w.duplicate_threshold == 0.52

@@ -330,3 +330,19 @@ def test_dashboard_inline_scripts_parse_sane():
         js = re.sub(r"/\*.*?\*/", "", js, flags=re.S)
         for o, c in (("(", ")"), ("{", "}"), ("[", "]")):
             assert js.count(o) == js.count(c), (name, o, js.count(o), js.count(c))
+
+
+def test_people_count_bad_int_params_are_400(cfg):
+    """Malformed limit/days query params are client errors, not 500s; and
+    limit is clamped so one request can't dump the whole collection."""
+    ds = Datastore(cfg)
+    manager = CampusPeopleManager(ds, cfg, start_background=False)
+    app = build_count_app(manager)
+    c = app.test_client()
+    r = c.get("/api/campus/x/events?limit=abc")
+    assert r.status_code == 400
+    assert "limit" in r.get_json()["error"]
+    r = c.get("/api/campus/x/analytics?days=abc")
+    assert r.status_code == 400
+    r = c.get("/api/campus/x/events?limit=10000000")
+    assert r.status_code == 200  # clamped, not errored
