@@ -316,10 +316,24 @@ class _CompanySnapshot:
         if self.size == 0 or len(query_embeddings) == 0:
             b = len(query_embeddings)
             return np.full((b, k), -1.0, np.float32), [[None] * k for _ in range(b)]
-        q32 = jnp.asarray(np.asarray(query_embeddings, np.float32))
+        # Bucket the query batch to the standard compiled shapes: per-frame
+        # face counts vary 1, 2, 3, ... and each distinct B would otherwise
+        # compile a fresh match program mid-stream (minutes over a tunneled
+        # runtime) — same policy as the fused pipeline's crop batches.
+        # Rows are independent in every kernel, so padded zero-queries
+        # change nothing for the real rows and are sliced off below.
+        from .pipeline import bucket
+
+        q = np.asarray(query_embeddings, np.float32)
+        b_real = q.shape[0]
+        b_pad = bucket(b_real)
+        if b_pad != b_real:
+            q = np.concatenate(
+                [q, np.zeros((b_pad - b_real, q.shape[1]), np.float32)])
+        q32 = jnp.asarray(q)
         vals, idx = self._device_match(q32, k, mesh)
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
+        vals = np.asarray(vals)[:b_real]
+        idx = np.asarray(idx)[:b_real]
         ids = [[self.ids[j] if 0 <= j < self.size and vals[b, i] > -np.inf else None
                 for i, j in enumerate(row)] for b, row in enumerate(idx)]
         return vals, ids
@@ -338,6 +352,17 @@ class _CompanySnapshot:
         # traffic, Pallas-eligible) — see _cache_score_matrix.
         score = getattr(self, "score_matrix", None)
         mat = score if score is not None else self.device_matrix
+        if mesh is not None:
+            from ..parallel.sharding import AXIS_GALLERY as _AG
+
+            _shards = mesh.shape.get(_AG, 1)
+            if _shards <= 1 or self.device_matrix.shape[0] % _shards != 0:
+                # padded capacity not divisible by the gallery axis:
+                # _place left the matrix unsharded and every shard_map
+                # path below would raise ("axis sizes not evenly
+                # divisible") — serve through the single-device kernels
+                # on the replicated array instead of crashing match()
+                mesh = None
         if mesh is not None:
             import jax
 
@@ -404,7 +429,6 @@ class GalleryManager:
         self._lock = threading.Lock()
         self.embeddings: Dict[str, np.ndarray] = {}
         self.metadata: Dict[str, dict] = {}
-        self._company_ids: Dict[str, set] = {}  # company -> person-id set
         self._snapshots: Dict[str, _CompanySnapshot] = {}
         self._version = 0
         self.last_sync_time = None
@@ -483,7 +507,7 @@ class GalleryManager:
             pending = self._begin_delta_locked()
         self._evolve_snapshots(pending, loaded, meta, moved_companies=moved)
 
-    def _remove_inactive(self):
+    def _remove_inactive(self, audit_existence: bool = True):
         inactive = self.ds.employee_info.find(
             {"$or": [{"status": {"$ne": "active"}}, {"blacklisted": True}]},
             {"_id": 1})
@@ -491,17 +515,31 @@ class GalleryManager:
         # Hard-deleted people (DELETE mode=hard removes the doc entirely,
         # employee.py:457) never match the inactive query — check cached ids
         # still exist, else a deleted identity keeps matching until restart.
-        with self._lock:
-            cached = [ObjectId(pid) for pid in self.embeddings
-                      if len(pid) == 24]
+        # Probe with BOTH representations of each 24-char id: a non-hex
+        # 24-char custom id must not raise InvalidId (which would kill the
+        # sync loop permanently), and a doc whose _id is stored as a hex
+        # STRING must still be found (ObjectId never equals str in the
+        # store) rather than silently evicted every sync.
+        probes: list = []
+        audited: set = set()
+        if audit_existence:
+            with self._lock:
+                for pid in self.embeddings:
+                    if len(pid) == 24:
+                        audited.add(pid)
+                        probes.append(pid)
+                        if ObjectId.is_valid(pid):
+                            probes.append(ObjectId(pid))
         existing: set = set()
-        for coll in (self.ds.employee_info, self.ds.visitors):
-            for d in coll.find({"_id": {"$in": cached}}, {"_id": 1}):
-                existing.add(str(d["_id"]))
+        if probes:
+            for coll in (self.ds.employee_info, self.ds.visitors):
+                for d in coll.find({"_id": {"$in": probes}}, {"_id": 1}):
+                    existing.add(str(d["_id"]))
         with self._lock:
             removed = set()
             for pid in list(self.embeddings):
-                if pid in inactive_ids or (len(pid) == 24 and pid not in existing):
+                if pid in inactive_ids or (pid in audited
+                                           and pid not in existing):
                     del self.embeddings[pid]
                     self.metadata.pop(pid, None)
                     removed.add(pid)
@@ -511,18 +549,12 @@ class GalleryManager:
             logger.info("Removed %d inactive/deleted embeddings",
                         len(removed))
 
-    def _invalidate_locked(self):
-        self._version += 1
-        self._snapshots.clear()
-        self._company_ids.clear()
-
     def _begin_delta_locked(self) -> list:
         """Start a delta generation (caller holds self._lock, having just
         mutated embeddings/metadata): bump the version so in-flight lazy
         builds of the PRE-delta state won't cache, and return the cached
         snapshots to evolve outside the lock."""
         self._version += 1
-        self._company_ids.clear()
         return list(self._snapshots.items())
 
     def _evolve_snapshots(self, pending: list, updates: dict, meta: dict,
@@ -613,7 +645,16 @@ class GalleryManager:
         updated_visitors = list(self.ds.visitors.find({
             "lastUpdated": {"$gte": since},
             "visitorEmbeddings.buffalo_l.status": "done"}))
-        self._remove_inactive()
+        # The hard-delete existence audit probes EVERY cached id with an
+        # $in query — O(gallery) work that dwarfs the O(delta) sync at the
+        # 1M-ID scale this repo benchmarks.  Small galleries audit every
+        # tick (hard deletes vanish within one sync interval, the
+        # reference's staleness contract); big ones every 10th tick —
+        # inactive/blacklist removals stay per-tick either way.
+        self._sync_count = getattr(self, "_sync_count", 0) + 1
+        audit = (len(self.embeddings) <= 100_000
+                 or self._sync_count % 10 == 0)
+        self._remove_inactive(audit_existence=audit)
         if updated_employees or updated_visitors:
             self._load_updated(updated_employees, updated_visitors)
         self.last_sync_time = next_watermark

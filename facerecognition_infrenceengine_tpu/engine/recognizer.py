@@ -129,7 +129,12 @@ class FaceRecognitionProcessor:
         for face, score_row, id_row in zip(faces, scores, ids):
             best_score = float(score_row[0])
             best_id = id_row[0]
-            if best_id is not None and best_score >= self.recognition_threshold:
+            # explicit matched flag — float truthiness of the score would
+            # call a legitimate 0.0-score match (threshold <= 0) unmatched
+            # while the HUD drew it as recognized
+            matched = (best_id is not None
+                       and best_score >= self.recognition_threshold)
+            if matched:
                 person_info = metadata[best_id]
                 color = GREEN if person_info["type"] == "employee" else YELLOW
                 recognition_score = best_score
@@ -140,10 +145,10 @@ class FaceRecognitionProcessor:
             results.append({
                 "bbox": face.bbox.astype(int).tolist(),
                 "det_score": face.det_score,
-                "person_id": best_id if recognition_score else None,
+                "person_id": best_id if matched else None,
                 "person_info": person_info,
                 "similarity": best_score,
-                "recognized": bool(recognition_score),
+                "recognized": matched,
             })
             if draw:
                 frame = draw_enhanced_bounding_box(

@@ -389,6 +389,12 @@ def encode_fake_face(person_seed: int, pose_jitter: float = 0.0,
     ``person_seed`` determines the identity embedding; ``pose_jitter`` adds
     per-image rotation of the embedding (0.0 = identical across poses, large
     values make poses look like different people)."""
+    if not 0 <= person_seed < (1 << 24):
+        # the descriptor carries the seed in 3 unsigned LE bytes; a bigger
+        # or negative seed would silently decode to a DIFFERENT identity
+        # and produce baffling no-match test failures
+        raise ValueError(
+            f"person_seed must be in [0, 2^24), got {person_seed}")
     img = np.random.default_rng(person_seed * 7919 + int(pose_jitter * 1e4)) \
         .integers(0, 255, (*size, 3)).astype(np.uint8)
     img[0, 0] = MARKER

@@ -68,7 +68,16 @@ def distributed_topk(
 
     Returns (values [B, k] float32, indices [B, k] int32) — global row ids.
     """
-    fn = jax.shard_map(
+    return _topk_fn(mesh, k)(queries, gallery, valid)
+
+
+@functools.lru_cache(maxsize=64)
+def _topk_fn(mesh: Mesh, k: int):
+    # Cached per (mesh, k) and jitted: building a fresh shard_map wrapper
+    # per call would re-trace the sharded match on EVERY eager query batch
+    # (JAX's dispatch cache keys on function identity) — unlike the
+    # single-chip paths, which are module-level @jax.jit.
+    return jax.jit(jax.shard_map(
         functools.partial(_sharded_topk_body, k=k),
         mesh=mesh,
         in_specs=(P(), P(AXIS_GALLERY, None), P(AXIS_GALLERY)),
@@ -77,8 +86,7 @@ def distributed_topk(
         # inputs replicated over 'data'), but the static VMA checker can't
         # prove it for the unused 'data' axis.
         check_vma=False,
-    )
-    return fn(queries, gallery, valid)
+    ))
 
 
 def distributed_top1(queries, gallery, valid, mesh):
@@ -135,16 +143,22 @@ def distributed_top1_fused(queries, gallery, size, mesh, int8_scale=None,
 
     Returns (values [B] f32, indices [B] int32), replicated.
     """
-    fn = jax.shard_map(
+    fn = _top1_fused_fn(mesh, None if int8_scale is None else
+                        float(int8_scale), interpret)
+    vals, idx = fn(queries, gallery, jnp.int32(size))
+    return vals[:, 0], idx[:, 0]
+
+
+@functools.lru_cache(maxsize=64)
+def _top1_fused_fn(mesh: Mesh, int8_scale, interpret: bool):
+    return jax.jit(jax.shard_map(
         functools.partial(_sharded_top1_fused_body, int8_scale=int8_scale,
                           interpret=interpret),
         mesh=mesh,
         in_specs=(P(), P(AXIS_GALLERY, None), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    vals, idx = fn(queries, gallery, jnp.int32(size))
-    return vals[:, 0], idx[:, 0]
+    ))
 
 
 def _sharded_topk_int8_body(q_int, gallery_q, size, *, k):
@@ -175,12 +189,16 @@ def distributed_topk_int8(queries, gallery_q, gallery_scale, size, mesh,
     queries = queries.astype(jnp.float32)
     qs = jnp.maximum(jnp.max(jnp.abs(queries)), 1e-12) / 127.0
     q_int = jnp.clip(jnp.rint(queries / qs), -127, 127).astype(jnp.int8)
-    fn = jax.shard_map(
+    vals_raw, idx = _topk_int8_fn(mesh, k)(q_int, gallery_q, jnp.int32(size))
+    return vals_raw * (qs * jnp.float32(gallery_scale)), idx
+
+
+@functools.lru_cache(maxsize=64)
+def _topk_int8_fn(mesh: Mesh, k: int):
+    return jax.jit(jax.shard_map(
         functools.partial(_sharded_topk_int8_body, k=k),
         mesh=mesh,
         in_specs=(P(), P(AXIS_GALLERY, None), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    vals_raw, idx = fn(q_int, gallery_q, jnp.int32(size))
-    return vals_raw * (qs * jnp.float32(gallery_scale)), idx
+    ))

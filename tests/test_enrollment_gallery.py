@@ -633,3 +633,85 @@ def test_worker_uses_injected_thresholds(store_cfg):
                             detector=FakeFaceAnalysis())
     assert w.similarity_threshold == 0.61
     assert w.duplicate_threshold == 0.52
+
+
+def test_gallery_mesh_indivisible_capacity_falls_back(world):
+    """A gallery axis that doesn't divide the padded capacity must serve
+    through the single-device kernels, not crash every match() with a
+    shard_map divisibility ValueError."""
+    import jax
+
+    from facerecognition_infrenceengine_tpu.parallel import build_mesh
+
+    cfg, ds, client, cid, worker = world
+    for emp, seed in (("E1", 42), ("E2", 43)):
+        register(client, cid, emp, person_seed=seed)
+    worker.process_available_jobs()
+
+    local = GalleryManager(ds, cfg, mesh=None)
+    # 6-way gallery axis: default capacity (gallery_block * 2^k) is a
+    # power-of-two multiple, never divisible by 6
+    mesh = build_mesh(jax.devices()[:6], data=1, gallery=6)
+    sharded = GalleryManager(ds, cfg, mesh=mesh)
+    probe = np.stack([fake_embedding(42, 0.05)])
+    s_loc, ids_loc, _ = local.match(probe, company_id=cid)
+    s_sh, ids_sh, _ = sharded.match(probe, company_id=cid)
+    assert ids_sh == ids_loc
+    np.testing.assert_allclose(s_sh, s_loc, atol=1e-5)
+
+
+def test_sync_survives_custom_and_string_ids(world):
+    """_remove_inactive must not die on 24-char NON-hex ids (InvalidId
+    killed the sync loop) and must not evict docs whose _id is stored as a
+    24-hex STRING (ObjectId never equals str in the store)."""
+    import pickle
+
+    cfg, ds, client, cid, worker = world
+    from facerecognition_infrenceengine_tpu.store import ObjectId
+
+    register(client, cid, "E1", person_seed=42)
+    worker.process_available_jobs()
+    gallery = GalleryManager(ds, cfg, mesh=None)
+    emb = fake_embedding(7)
+    now = (datetime.datetime.now(datetime.timezone.utc)
+           .replace(tzinfo=None))
+    # plant two directly-cached identities with tricky ids
+    hexstr_id = str(ObjectId())           # 24-char hex, stored as str
+    custom_id = "EMP-2026-000000001-XYZAB"  # 24 chars, NOT hex
+    assert len(custom_id) == 24 and not ObjectId.is_valid(custom_id)
+    for pid in (hexstr_id, custom_id):
+        ds.employee_info.insert_one({
+            "_id": pid, "companyId": ObjectId(cid), "employeeId": pid,
+            "status": "active", "blacklisted": False,
+            "lastUpdated": now})
+        with gallery._lock:
+            gallery.embeddings[pid] = emb
+            gallery.metadata[pid] = {"name": pid, "type": "employee",
+                                     "companyId": cid}
+    gallery.last_sync_time = now
+    gallery._sync()  # must not raise, must not evict either id
+    assert hexstr_id in gallery.embeddings
+    assert custom_id in gallery.embeddings
+    # a genuinely hard-deleted hex-string id IS evicted
+    ds.employee_info.delete_one({"_id": hexstr_id})
+    gallery._sync()
+    assert hexstr_id not in gallery.embeddings
+    assert custom_id in gallery.embeddings
+
+
+def test_match_query_batch_is_bucketed(world):
+    """Odd face counts pad to the standard compiled shapes (no fresh
+    compile per distinct per-frame face count) with identical results."""
+    cfg, ds, client, cid, worker = world
+    for emp, seed in (("E1", 42), ("E2", 43), ("E3", 44)):
+        register(client, cid, emp, person_seed=seed)
+    worker.process_available_jobs()
+    gallery = GalleryManager(ds, cfg, mesh=None)
+    probe3 = np.stack([fake_embedding(s, 0.02) for s in (42, 43, 44)])
+    s3, ids3, _ = gallery.match(probe3, company_id=cid)
+    assert s3.shape[0] == 3 and len(ids3) == 3
+    # same queries one at a time agree with the batched result
+    for i, seed in enumerate((42, 43, 44)):
+        s1, ids1, _ = gallery.match(probe3[i:i + 1], company_id=cid)
+        assert ids1[0] == ids3[i]
+        np.testing.assert_allclose(s1[0], s3[i], atol=1e-5)
